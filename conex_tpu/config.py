@@ -1,0 +1,63 @@
+"""Solver configuration.
+
+Mirrors the reference's ``SolverConfiguration`` struct
+(/root/reference/conex/cone_program.h:17-38) field-for-field, with the same
+defaults, plus TPU-build additions (dtype selection).
+
+Fields that alter the *structure* of the compiled program (line search on/off,
+kkt solver mode, max_iterations, centering step counts) are static — changing
+them triggers recompilation.  Purely numeric tolerances are carried as traced
+scalars so they can be changed without recompiling.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+COLDSTART = 0
+WARMSTART = 1
+
+# KKT solver modes (reference: conex/kkt_solver.h:10-14).
+KKT_SOLVER_LLT = 0
+KKT_SOLVER_LDLT = 1
+KKT_SOLVER_QR = 2
+
+
+@dataclasses.dataclass(frozen=True)
+class SolverConfig:
+    """Configuration for the geodesic interior-point solver.
+
+    Defaults match reference /root/reference/conex/cone_program.h:17-38.
+    """
+
+    prepare_dual_variables: bool = False
+    initialization_mode: int = COLDSTART
+    # inv_sqrt_mu_max = 1/sqrt(mu_final): the target accuracy.
+    inv_sqrt_mu_max: float = 1000.0
+    minimum_mu: float = 1e-15
+    maximum_mu: float = 1e4
+    divergence_upper_bound: float = 1.0
+    enable_line_search: bool = False
+    dinf_upper_bound: float = 1.0
+    final_centering_steps: int = 5
+    final_centering_tolerance: float = 0.01
+    initial_centering_steps_warmstart: int = 0
+    initial_centering_steps_coldstart: int = 0
+    warmstart_abort_threshold: float = 2.0
+    max_iterations: int = 25
+    infeasibility_threshold: float = 1e5
+    kkt_error_tolerance: float = 1e10
+    kkt_solver: int = KKT_SOLVER_LLT
+    enable_rescaling: bool = True
+    iterative_refinement_iterations: int = 0
+
+    # --- TPU-build additions ---
+    # Solve dtype.  None => inherit from problem data.
+    dtype: Optional[str] = None
+
+    def replace(self, **kw) -> "SolverConfig":
+        return dataclasses.replace(self, **kw)
+
+
+DEFAULT_CONFIG = SolverConfig()

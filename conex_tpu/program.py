@@ -1,0 +1,208 @@
+"""Host-side program builder.
+
+The TPU-native analogue of the reference's ``Program``
+(/root/reference/conex/cone_program.h:99-243): collects constraints, then
+stages them as a static tuple of cone blocks + arrays and invokes the single
+jitted solve loop.  Unlike the reference there is no mutable arena — solver
+state is a pytree threaded through the compiled iteration, and warmstarting
+is explicit state passing (the pytree of final cone iterates is the
+checkpoint; reference cone_program.h:106-109, test_warmstart.cc).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .config import COLDSTART, WARMSTART, KKT_SOLVER_LDLT, SolverConfig
+from .cones.equality import EqualityBlock
+from .cones.lp import LinearCone
+from .solver.loop import SolveResult, solve_compiled
+
+
+def _as_tuple_or_none(variables, num_vars_total, v):
+    if variables is None:
+        return None
+    t = tuple(int(x) for x in variables)
+    if len(set(t)) != len(t):
+        raise ValueError("duplicate variables in constraint")
+    if t == tuple(range(v)):
+        return None  # dense fast path
+    return t
+
+
+@dataclasses.dataclass
+class Result:
+    """Solve outcome; mirrors ConexStatus (cone_program.h:40-45) + solution."""
+
+    solved: bool
+    y: np.ndarray
+    num_iterations: int
+    primal_infeasible: bool
+    dual_infeasible: bool
+    stats_inv_sqrt_mu: np.ndarray
+    stats_norminf_d: np.ndarray
+    _raw: SolveResult = dataclasses.field(repr=False, default=None)
+
+
+class Program:
+    """A conic program: maximize b'y  s.t.  c - A y in K, A_eq y = b_eq."""
+
+    def __init__(self, num_vars: int, dtype=jnp.float64):
+        self.num_vars = int(num_vars)
+        self.dtype = dtype
+        self._blocks: List = []
+        self._eq_blocks: List[EqualityBlock] = []
+        self._dual_size = 0
+        self._ws = None  # warmstart state (final cone iterates)
+        self._scalings = None  # (b_scaling, c_scaling) from last solve
+        self._last_result: Optional[SolveResult] = None
+
+    # -- construction ------------------------------------------------------
+
+    def add_linear_constraint(self, A, c, variables=None):
+        """c - A y >= 0 elementwise (reference LinearConstraint)."""
+        A = np.atleast_2d(np.asarray(A, dtype=np.float64))
+        c = np.asarray(c, dtype=np.float64).reshape(-1)
+        if A.shape[0] != c.shape[0]:
+            raise ValueError("A rows must match c length")
+        vars_ = _as_tuple_or_none(variables, self.num_vars, A.shape[1])
+        self._blocks.append(
+            LinearCone(
+                A=jnp.asarray(A, self.dtype),
+                c=jnp.asarray(c, self.dtype),
+                vars_=vars_,
+            )
+        )
+        return len(self._blocks) - 1
+
+    def add_equality_constraint(self, A, b, variables=None):
+        """A y = b (reference EqualityConstraints)."""
+        A = np.atleast_2d(np.asarray(A, dtype=np.float64))
+        b = np.asarray(b, dtype=np.float64).reshape(-1)
+        vars_ = _as_tuple_or_none(variables, self.num_vars, A.shape[1])
+        blk = EqualityBlock(
+            A=jnp.asarray(A, self.dtype),
+            b=jnp.asarray(b, self.dtype),
+            vars_=vars_,
+            dual_offset=self._dual_size,
+        )
+        self._dual_size += A.shape[0]
+        self._eq_blocks.append(blk)
+        return len(self._eq_blocks) - 1
+
+    def _add_block(self, blk):
+        self._blocks.append(blk)
+        return len(self._blocks) - 1
+
+    # -- solving -----------------------------------------------------------
+
+    def _default_config(self, config: Optional[SolverConfig]) -> SolverConfig:
+        if config is None:
+            config = SolverConfig()
+        if self._eq_blocks and config.kkt_solver == 0:
+            # Equality duals make the KKT matrix indefinite; the reference
+            # forces the LDLT path (kkt_solver.cc:180-187).
+            config = config.replace(kkt_solver=KKT_SOLVER_LDLT)
+        return config
+
+    def solve(self, b, config: Optional[SolverConfig] = None) -> Result:
+        """Maximize b'y over the constraints.  reference: Solve(b, prog, ...)."""
+        config = self._default_config(config)
+        b = jnp.asarray(np.asarray(b, dtype=np.float64).reshape(-1), self.dtype)
+        if b.shape[0] != self.num_vars:
+            raise ValueError("objective dimension mismatch")
+        if not self._blocks:
+            raise ValueError("empty program: add at least one cone constraint")
+
+        blocks = tuple(self._blocks)
+        eq_blocks = tuple(self._eq_blocks)
+
+        warm = (
+            config.initialization_mode == WARMSTART
+            and self._ws is not None
+        )
+        if config.initialization_mode == WARMSTART and self._ws is None:
+            config = config.replace(initialization_mode=COLDSTART)
+            warm = False
+
+        if warm:
+            init_ws = self._ws
+            b_scaling, c_scaling = self._scalings
+        else:
+            init_ws = tuple(blk.identity_state(self.dtype) for blk in blocks)
+            b_scaling = jnp.ones((), self.dtype)
+            c_scaling = jnp.ones((), self.dtype)
+
+        init_scalars = dict(
+            k=jnp.zeros((), self.dtype),
+            b_scaling=b_scaling,
+            c_scaling=c_scaling,
+        )
+
+        raw = solve_compiled(blocks, eq_blocks, b, init_ws, init_scalars, config)
+        raw = jax.tree.map(lambda x: np.asarray(x) if hasattr(x, "shape") else x, raw)
+
+        self._ws = tuple(jnp.asarray(w) for w in raw.ws)
+        self._scalings = (
+            jnp.asarray(raw.b_scaling),
+            jnp.asarray(raw.c_scaling),
+        )
+        self._last_result = raw
+        return Result(
+            solved=bool(raw.solved),
+            y=np.asarray(raw.y),
+            num_iterations=int(raw.num_iterations),
+            primal_infeasible=bool(raw.primal_infeasible),
+            dual_infeasible=bool(raw.dual_infeasible),
+            stats_inv_sqrt_mu=np.asarray(raw.stats_k)[: int(raw.num_iterations)],
+            stats_norminf_d=np.asarray(raw.stats_dinf)[: int(raw.num_iterations)],
+            _raw=raw,
+        )
+
+    # -- readback ----------------------------------------------------------
+
+    def get_dual_variable(self, i: int) -> np.ndarray:
+        """Dual (primal-cone) variable of constraint i.
+
+        reference: Program::GetDualVariable (cone_program.h:120-134) — the
+        cone iterate divided by (inv_sqrt_mu * b_scaling).  Requires the last
+        solve to have used prepare_dual_variables=True for exact duals.
+        """
+        raw = self._last_result
+        if raw is None:
+            raise RuntimeError("no solve yet")
+        w = np.asarray(raw.ws[i])
+        if not bool(raw.primal_infeasible):
+            w = w / (float(raw.k) * float(raw.b_scaling))
+        return w
+
+    def get_equality_dual(self, i: int) -> np.ndarray:
+        """lambda of equality block i, from the KKT solution tail."""
+        raw = self._last_result
+        if raw is None:
+            raise RuntimeError("no solve yet")
+        eq = self._eq_blocks[i]
+        off = self.num_vars + eq.dual_offset
+        lam = np.asarray(raw.y_kkt)[off : off + eq.p]
+        return lam
+
+    def get_feasible_objective(self) -> np.ndarray:
+        """b = 0.5 * A(w) at w = identity — a feasible objective generator.
+
+        reference: GetFeasibleObjective (cone_program.cc:535-545).
+        """
+        from .solver.loop import assemble
+
+        blocks = tuple(self._blocks)
+        eq_blocks = tuple(self._eq_blocks)
+        ws = tuple(blk.identity_state(self.dtype) for blk in blocks)
+        n_kkt = self.num_vars + self._dual_size
+        _, AW, _, _, _ = assemble(
+            blocks, eq_blocks, ws, n_kkt, self.num_vars, self.dtype
+        )
+        return 0.5 * np.asarray(AW)[: self.num_vars]
