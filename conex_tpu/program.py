@@ -21,6 +21,7 @@ import numpy as np
 from .config import COLDSTART, WARMSTART, KKT_SOLVER_LDLT, SolverConfig
 from .cones.equality import EqualityBlock
 from .cones.lp import LinearCone
+from .cones.soc import SOCCone
 from .solver.loop import SolveResult, solve_compiled
 
 
@@ -73,6 +74,30 @@ class Program:
         vars_ = _as_tuple_or_none(variables, self.num_vars, A.shape[1])
         self._blocks.append(
             LinearCone(
+                A=jnp.asarray(A, self.dtype),
+                c=jnp.asarray(c, self.dtype),
+                vars_=vars_,
+            )
+        )
+        return len(self._blocks) - 1
+
+    def add_soc_constraint(self, A, c, variables=None):
+        """c - A y in the Lorentz cone (reference SOCConstraint).
+
+        A: (n+1, v), c: (n+1,) for a single cone; or batched
+        A: (B, n+1, v), c: (B, n+1) for B same-shape cones on the same
+        variable subset (solved fully vectorized).
+        """
+        A = np.asarray(A, dtype=np.float64)
+        c = np.asarray(c, dtype=np.float64)
+        if A.ndim == 2:
+            A = A[None]
+            c = c[None]
+        if A.shape[:2] != c.shape:
+            raise ValueError("A and c batch/cone dimensions must match")
+        vars_ = _as_tuple_or_none(variables, self.num_vars, A.shape[2])
+        self._blocks.append(
+            SOCCone(
                 A=jnp.asarray(A, self.dtype),
                 c=jnp.asarray(c, self.dtype),
                 vars_=vars_,
@@ -176,9 +201,11 @@ class Program:
         raw = self._last_result
         if raw is None:
             raise RuntimeError("no solve yet")
-        w = np.asarray(raw.ws[i])
+        w = np.asarray(raw.ws[i]) * getattr(self._blocks[i], "dual_scale", 1.0)
         if not bool(raw.primal_infeasible):
             w = w / (float(raw.k) * float(raw.b_scaling))
+        if w.ndim >= 2 and w.shape[0] == 1:
+            w = w[0]  # single-cone batch: return the cone element itself
         return w
 
     def get_equality_dual(self, i: int) -> np.ndarray:
