@@ -1,0 +1,103 @@
+"""Dense symmetric-matrix kernels: Padé exponential and asymmetric Lanczos.
+
+TPU-native re-implementations of the reference's
+exponential_map_pade.{h,cc} and approximate_eigenvalues.{h,cc}.  Everything
+is batched over a leading axis and built from MXU-friendly matmuls; the
+Lanczos early-exit (a data-dependent break in the reference,
+approximate_eigenvalues.cc:217-232) becomes a fixed-length ``lax.scan`` with
+masking so the whole thing stays inside one compiled program.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+
+def expm_pade(A: jnp.ndarray) -> jnp.ndarray:
+    """Pade(3,3)-style rational approximation of exp(A).
+
+    reference: ComputeWeightedPowers + ExponentialMapPadeApproximation
+    (exponential_map_pade.cc:10-32): with b = [120, 60, 12, 1],
+    U = A (b3 A^2 + b1 I), V = b2 A^2 + b0 I, exp(A) ~ (V - U)^{-1}(V + U).
+    Batched over leading axes (jnp.linalg.solve broadcasts).
+    """
+    n = A.shape[-1]
+    eye = jnp.eye(n, dtype=A.dtype)
+    A2 = A @ A
+    U = A @ (A2 + 60.0 * eye)
+    V = 12.0 * A2 + 120.0 * eye
+    return jnp.linalg.solve(V - U, V + U)
+
+
+def _pair_ip(V, U):
+    """<V, U> = V[:, 0] . U[:, 1] — the two-column polynomial inner product.
+
+    reference: inner_product (approximate_eigenvalues.cc:173-176).
+    """
+    return jnp.dot(V[:, 0], U[:, 1])
+
+
+def asymmetric_lanczos(WS, W, r, num_iter: int):
+    """Eigenvalue estimates of WS (similar to symmetric W^{1/2} S W^{1/2}).
+
+    reference: AsymmetricLanczos (approximate_eigenvalues.cc:178-239).
+    Tracks V = [p(WS) W r, p(WS)^T r] and builds the Jacobi (tridiagonal)
+    matrix of the induced inner product; returns its eigenvalues.  The
+    reference breaks when beta < 1e-6; here the break is a mask — once
+    inactive, the emitted diagonal entries repeat alpha_0 (a valid Ritz
+    value, inside the converged spectrum interval) and the off-diagonals are
+    zero, which leaves min/max eigenvalues of the padded tridiagonal equal
+    to those of the truncated one.
+    """
+    n = WS.shape[0]
+    dtype = WS.dtype
+
+    V = jnp.stack([W @ r, r], axis=1)
+    V = V / jnp.sqrt(_pair_ip(V, V))
+    U = jnp.stack([WS @ V[:, 0], WS.T @ V[:, 1]], axis=1)
+    alpha0 = _pair_ip(V, U)
+    U = U - alpha0 * V
+
+    def step(carry, _):
+        V, Vprev, U, active = carry
+        beta_sq = _pair_ip(U, U)
+        go = active & (beta_sq >= 1e-6)
+        beta = jnp.sqrt(jnp.maximum(beta_sq, 1e-300))
+        V_new = U / beta
+        U_new = jnp.stack([WS @ V_new[:, 0], WS.T @ V_new[:, 1]], axis=1)
+        alpha = _pair_ip(V_new, U_new)
+        U_new = U_new - alpha * V_new - beta * V
+
+        V_out = jnp.where(go, V_new, V)
+        Vp_out = jnp.where(go, V, Vprev)
+        U_out = jnp.where(go, U_new, U)
+        alpha_out = jnp.where(go, alpha, alpha0)
+        beta_out = jnp.where(go, beta, 0.0)
+        return (V_out, Vp_out, U_out, go), (alpha_out, beta_out)
+
+    if num_iter > 1:
+        (_, _, _, _), (alphas, betas) = jax.lax.scan(
+            step, (V, V, U, jnp.asarray(True)), None, length=num_iter - 1
+        )
+        diag = jnp.concatenate([alpha0[None], alphas])
+        offdiag = betas
+    else:
+        diag = alpha0[None]
+        offdiag = jnp.zeros((0,), dtype)
+
+    if num_iter == 1:
+        return diag
+    return jax.scipy.linalg.eigh_tridiagonal(
+        diag, offdiag, eigvals_only=True
+    )
+
+
+def approximate_eigenvalues(WS, W, r, num_iter: int):
+    """Dispatcher (reference approximate_eigenvalues.cc:241-256): n = 1
+    inputs are returned unchanged; otherwise asymmetric Lanczos."""
+    if WS.shape[0] == 1:
+        return WS[0]
+    return asymmetric_lanczos(WS, W, r, num_iter)

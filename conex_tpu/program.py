@@ -21,6 +21,7 @@ import numpy as np
 from .config import COLDSTART, WARMSTART, KKT_SOLVER_LDLT, SolverConfig
 from .cones.equality import EqualityBlock
 from .cones.lp import LinearCone
+from .cones.psd import DenseLMICone
 from .cones.soc import SOCCone
 from .solver.loop import SolveResult, solve_compiled
 
@@ -100,6 +101,34 @@ class Program:
             SOCCone(
                 A=jnp.asarray(A, self.dtype),
                 c=jnp.asarray(c, self.dtype),
+                vars_=vars_,
+            )
+        )
+        return len(self._blocks) - 1
+
+    def add_lmi_constraint(self, A, C, variables=None):
+        """C - sum_i y_i A_i PSD (reference DenseLMIConstraint).
+
+        A: (v, n, n) stack of symmetric matrices, C: (n, n) for a single
+        LMI; or batched A: (B, v, n, n), C: (B, n, n) for B same-shape LMIs
+        over the same variable subset.
+        """
+        A = np.asarray(A, dtype=np.float64)
+        C = np.asarray(C, dtype=np.float64)
+        if A.ndim == 3:
+            A = A[None]
+            C = C[None]
+        if A.shape[2] != A.shape[3] or A.shape[0] != C.shape[0] or C.shape[1:] != A.shape[2:]:
+            raise ValueError("LMI shapes must be A:(B,v,n,n), C:(B,n,n)")
+        if not np.allclose(A, np.swapaxes(A, 2, 3)) or not np.allclose(
+            C, np.swapaxes(C, 1, 2)
+        ):
+            raise ValueError("LMI matrices must be symmetric")
+        vars_ = _as_tuple_or_none(variables, self.num_vars, A.shape[1])
+        self._blocks.append(
+            DenseLMICone(
+                A=jnp.asarray(A, self.dtype),
+                C=jnp.asarray(C, self.dtype),
                 vars_=vars_,
             )
         )

@@ -1,0 +1,254 @@
+"""Dense SDP (LMI) integration tests.
+
+Mirrors /root/reference/conex/test/test_sdp.cc recipes: random feasible
+instances checked against KKT conditions, diagonal-SDP == LP equivalence,
+and the SOC == LMI arrow-embedding agreement from test_socp.cc.
+Also unit tests for the Pade exponential and Lanczos kernels against
+scipy/numpy oracles (reference: exponential_map_pade_test.cc,
+approximate_eigenvalues.cc tests).
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from conex_tpu import Program, SolverConfig
+from conex_tpu.algebra import sym
+
+
+def randsym(n, rng, scale=1.0):
+    M = rng.uniform(-1, 1, (n, n)) * scale
+    return 0.5 * (M + M.T)
+
+
+# ---------------------------------------------------------------------------
+# Kernel unit tests
+# ---------------------------------------------------------------------------
+
+
+def test_expm_pade_matches_scipy():
+    from scipy.linalg import expm
+
+    rng = np.random.default_rng(0)
+    for n in [1, 2, 5, 8]:
+        A = randsym(n, rng, scale=0.3)  # Pade(3,3) is accurate for small norms
+        got = np.asarray(sym.expm_pade(jnp.asarray(A)))
+        np.testing.assert_allclose(got, expm(A), atol=1e-6)
+
+
+def test_expm_pade_batched():
+    rng = np.random.default_rng(1)
+    A = np.stack([randsym(4, rng, 0.2) for _ in range(3)])
+    got = np.asarray(sym.expm_pade(jnp.asarray(A)))
+    for b in range(3):
+        np.testing.assert_allclose(
+            got[b], np.asarray(sym.expm_pade(jnp.asarray(A[b]))), atol=1e-12
+        )
+
+
+def test_lanczos_extreme_eigenvalues():
+    """Lanczos estimates of WS = W S bracket and approach the true spectrum
+    of the symmetric similarity W^{1/2} S W^{1/2}."""
+    rng = np.random.default_rng(2)
+    n = 12
+    M = rng.uniform(-1, 1, (n, n))
+    W = M @ M.T + n * np.eye(n)
+    S = randsym(n, rng)
+    WS = W @ S
+    r = rng.uniform(-1, 1, n)
+    eigs_true = np.linalg.eigvalsh(
+        np.linalg.cholesky(W).T @ S @ np.linalg.cholesky(W)
+    )
+    got = np.asarray(
+        sym.asymmetric_lanczos(jnp.asarray(WS), jnp.asarray(W), jnp.asarray(r), n)
+    )
+    assert got.max() == pytest.approx(eigs_true.max(), rel=1e-6)
+    assert got.min() == pytest.approx(eigs_true.min(), rel=1e-6)
+    # Truncated estimates interlace: max under-estimates, min over-estimates.
+    got6 = np.asarray(
+        sym.asymmetric_lanczos(jnp.asarray(WS), jnp.asarray(W), jnp.asarray(r), 6)
+    )
+    assert got6.max() <= eigs_true.max() + 1e-9
+    assert got6.min() >= eigs_true.min() - 1e-9
+
+
+def test_lanczos_early_exit_masking():
+    """Low-rank WS triggers the beta < 1e-6 break; masked padding must not
+    corrupt the extreme eigenvalues."""
+    n = 8
+    W = np.eye(n)
+    S = np.zeros((n, n))
+    S[0, 0] = 3.0
+    S[1, 1] = -2.0  # rank 2: Lanczos converges in ~2 steps
+    r = np.ones(n)
+    got = np.asarray(
+        sym.asymmetric_lanczos(
+            jnp.asarray(W @ S), jnp.asarray(W), jnp.asarray(r), n // 2
+        )
+    )
+    assert got.max() == pytest.approx(3.0, abs=1e-8)
+    assert got.min() == pytest.approx(-2.0, abs=1e-8)
+
+
+# ---------------------------------------------------------------------------
+# SDP solve tests
+# ---------------------------------------------------------------------------
+
+
+def feasible_sdp(n, m, rng):
+    A = np.stack([randsym(n, rng) for _ in range(m)])
+    C = randsym(n, rng)
+    C += (abs(np.linalg.eigvalsh(C).min()) + 1.0) * np.eye(n)  # interior at y=0
+    X0 = rng.uniform(-1, 1, (n, n))
+    X0 = X0 @ X0.T + 0.1 * np.eye(n)
+    b = np.einsum("vij,ij->v", A, X0)
+    return A, C, b
+
+
+def check_sdp_kkt(A, C, b, y, X, tol=1e-5):
+    S = C - np.einsum("v,vij->ij", y, A)
+    assert np.linalg.eigvalsh(S).min() >= -tol
+    assert np.linalg.eigvalsh(X).min() >= -tol
+    assert np.linalg.norm(np.einsum("vij,ij->v", A, X) - b) <= tol * max(
+        1.0, np.linalg.norm(b)
+    )
+    assert np.trace(S @ X) <= 1e-3
+
+
+def test_sdp_random_kkt():
+    config = SolverConfig(
+        inv_sqrt_mu_max=1000.0, prepare_dual_variables=True, max_iterations=50
+    )
+    rng = np.random.default_rng(3)
+    for n, m in [(3, 2), (6, 4), (10, 5)]:
+        A, C, b = feasible_sdp(n, m, rng)
+        prog = Program(m)
+        prog.add_lmi_constraint(A, C)
+        res = prog.solve(b, config)
+        assert res.solved, f"(n={n}, m={m}) unsolved at {res.num_iterations}"
+        X = prog.get_dual_variable(0)
+        check_sdp_kkt(A, C, b, res.y, X)
+
+
+def test_diagonal_sdp_equals_lp():
+    """reference: test_sdp.cc diagonal-SDP == LP equivalence."""
+    rng = np.random.default_rng(4)
+    n, m = 6, 3
+    Alp = rng.uniform(-1, 1, (n, m))
+    clp = np.abs(rng.uniform(-1, 1, n)) + 0.5
+    x0 = np.abs(rng.uniform(-1, 1, n))
+    b = Alp.T @ x0
+
+    lp = Program(m)
+    lp.add_linear_constraint(Alp, clp)
+    res_lp = lp.solve(b, SolverConfig(max_iterations=50))
+
+    A_sdp = np.stack([np.diag(Alp[:, i]) for i in range(m)])
+    C_sdp = np.diag(clp)
+    sdp = Program(m)
+    sdp.add_lmi_constraint(A_sdp, C_sdp)
+    res_sdp = sdp.solve(b, SolverConfig(max_iterations=50))
+
+    assert res_lp.solved and res_sdp.solved
+    np.testing.assert_allclose(res_lp.y, res_sdp.y, atol=1e-5)
+
+
+def test_soc_equals_lmi_embedding():
+    """reference: test_socp.cc:15-75 — the SOC ball constraint and its
+    arrow-matrix LMI embedding give the same solution."""
+    rng = np.random.default_rng(5)
+    n = 3
+    config = SolverConfig(inv_sqrt_mu_max=10000.0, max_iterations=50)
+    Wsqrt = rng.uniform(-1, 1, (n, n))
+    b = rng.uniform(-1, 1, n)
+
+    As = np.zeros((n + 1, n))
+    As[1:, :] = Wsqrt
+    Cs = np.zeros(n + 1)
+    Cs[0] = 1.0
+    p1 = Program(n)
+    p1.add_soc_constraint(As, Cs)
+    r1 = p1.solve(b, config)
+
+    # Arrow embedding: C = I, A_i has W column i in first row/col.
+    A_lmi = np.zeros((n, n + 1, n + 1))
+    for i in range(n):
+        A_lmi[i, 1:, 0] = Wsqrt[:, i]
+        A_lmi[i, 0, 1:] = Wsqrt[:, i]
+    C_lmi = np.eye(n + 1)
+    p2 = Program(n)
+    p2.add_lmi_constraint(A_lmi, C_lmi)
+    r2 = p2.solve(b, config)
+
+    assert r1.solved and r2.solved
+    np.testing.assert_allclose(r1.y, r2.y, atol=1e-4)
+
+
+def test_sdp_batched_matches_separate():
+    rng = np.random.default_rng(6)
+    n, m, B = 4, 3, 2
+    As, Cs, bs = [], [], np.zeros(m)
+    for _ in range(B):
+        A, C, b = feasible_sdp(n, m, rng)
+        As.append(A)
+        Cs.append(C)
+        bs += b
+    batched = Program(m)
+    batched.add_lmi_constraint(np.stack(As), np.stack(Cs))
+    res_b = batched.solve(bs, SolverConfig(max_iterations=50))
+
+    separate = Program(m)
+    for k in range(B):
+        separate.add_lmi_constraint(As[k], Cs[k])
+    res_s = separate.solve(bs, SolverConfig(max_iterations=50))
+
+    assert res_b.solved and res_s.solved
+    np.testing.assert_allclose(res_b.y, res_s.y, atol=1e-9)
+
+
+def test_sdp_profile_sweep():
+    """reference: SDP.ProfileSDP (test_sdp.cc:202-208) — small sweep, all
+    must solve and satisfy KKT."""
+    rng = np.random.default_rng(7)
+    config = SolverConfig(
+        inv_sqrt_mu_max=1000.0, prepare_dual_variables=True, max_iterations=60
+    )
+    for n in [1, 2, 4, 7]:
+        for m in [1, 3]:
+            if m > n * (n + 1) // 2:
+                continue  # Schur complement structurally singular
+            A, C, b = feasible_sdp(n, m, rng)
+            prog = Program(m)
+            prog.add_lmi_constraint(A, C)
+            res = prog.solve(b, config)
+            assert res.solved, f"(n={n}, m={m})"
+            X = prog.get_dual_variable(0)
+            check_sdp_kkt(A, C, b, res.y, X, tol=1e-4)
+
+
+def test_sdp_mixed_with_lp_and_soc():
+    rng = np.random.default_rng(8)
+    m = 3
+    A_sdp, C_sdp, b1 = feasible_sdp(4, m, rng)
+    A_lp = rng.uniform(-1, 1, (5, m))
+    c_lp = np.abs(rng.uniform(-1, 1, 5)) + 0.2
+    x_lp = np.abs(rng.uniform(0, 1, 5))
+    A_soc = rng.uniform(-1, 1, (4, m))
+    c_soc = rng.uniform(-1, 1, 4)
+    c_soc[0] = np.linalg.norm(c_soc[1:]) + 1.0
+    x_soc = rng.uniform(-1, 1, 4)
+    x_soc[0] = np.linalg.norm(x_soc[1:]) + 0.5
+    b = b1 + A_lp.T @ x_lp + A_soc.T @ x_soc
+    prog = Program(m)
+    prog.add_lmi_constraint(A_sdp, C_sdp)
+    prog.add_linear_constraint(A_lp, c_lp)
+    prog.add_soc_constraint(A_soc, c_soc)
+    res = prog.solve(b, SolverConfig(max_iterations=60))
+    assert res.solved
+    S = C_sdp - np.einsum("v,vij->ij", res.y, A_sdp)
+    assert np.linalg.eigvalsh(S).min() >= -1e-8
+    assert (c_lp - A_lp @ res.y).min() >= -1e-8
+    s_soc = c_soc - A_soc @ res.y
+    assert s_soc[0] >= np.linalg.norm(s_soc[1:]) - 1e-8
