@@ -238,13 +238,20 @@ class Program:
         return w
 
     def get_equality_dual(self, i: int) -> np.ndarray:
-        """lambda of equality block i, from the KKT solution tail."""
+        """lambda of equality block i, from the KKT solution tail.
+
+        reference: equality_constraint.cc:30-35 (lambda = y tail).  Scaled
+        by 1/(inv_sqrt_mu * b_scaling) like the cone duals so that the
+        stationarity condition b = A_cone' x + A_eq' lambda holds.
+        """
         raw = self._last_result
         if raw is None:
             raise RuntimeError("no solve yet")
         eq = self._eq_blocks[i]
         off = self.num_vars + eq.dual_offset
         lam = np.asarray(raw.y_kkt)[off : off + eq.p]
+        if not bool(raw.primal_infeasible):
+            lam = lam / (float(raw.k) * float(raw.b_scaling))
         return lam
 
     def get_feasible_objective(self) -> np.ndarray:
