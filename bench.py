@@ -1,0 +1,102 @@
+"""Benchmark: batched dense-SDP Newton iterations/s on TPU vs single-core conex.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+Workload: B independent dense SDPs (n x n LMI, m variables), solved fully
+vectorized by the jitted geodesic-IPM loop, exactly 30 Newton iterations
+each (fixed-iteration throughput mode — no early termination on either
+side).  The baseline is the reference conex solver measured on this machine,
+single core, same workload and iteration count
+(baseline/BASELINE_MEASURED.json, rebuilt by baseline/build_and_measure.sh).
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from conex_tpu.config import SolverConfig
+    from conex_tpu.cones.psd import DenseLMICone
+    from conex_tpu.parallel.sharded import solve_scenarios
+
+    B, n, m = 16, 100, 50
+    iters = 30
+    dtype = np.float32
+
+    rng = np.random.default_rng(0)
+    A = rng.uniform(-1, 1, (B, 1, m, n, n)).astype(dtype)
+    A = 0.5 * (A + np.swapaxes(A, 3, 4))
+    C = np.broadcast_to(np.eye(n, dtype=dtype), (B, 1, n, n)).copy()
+    X0 = rng.uniform(-1, 1, (B, 1, n, n)).astype(dtype)
+    X0 = np.einsum("sbij,sbkj->sbik", X0, X0) + 0.1 * np.eye(n, dtype=dtype)
+    b = np.einsum("sbvij,sbij->sv", A, X0).astype(dtype)
+
+    blk = DenseLMICone(A=jnp.asarray(A), C=jnp.asarray(C))
+    init_ws = (jnp.broadcast_to(jnp.eye(n, dtype=dtype), (B, 1, n, n)),)
+    scalars = dict(
+        k=jnp.zeros((B,), dtype),
+        b_scaling=jnp.ones((B,), dtype),
+        c_scaling=jnp.ones((B,), dtype),
+    )
+    # Fixed-iteration mode: never final-center, never terminate early
+    # (kkt_error overflows in f32 and must not trigger final centering).
+    config = SolverConfig(
+        max_iterations=iters,
+        final_centering_steps=0,
+        inv_sqrt_mu_max=1e15,
+        kkt_error_tolerance=1e45,
+    )
+
+    log(f"devices: {jax.devices()}")
+
+    def run():
+        res = solve_scenarios((blk,), (), jnp.asarray(b), init_ws, scalars, config)
+        jax.block_until_ready(res)
+        return res
+
+    t0 = time.perf_counter()
+    res = run()
+    log(f"compile+first run: {time.perf_counter() - t0:.2f}s")
+    n_iters = np.asarray(res.num_iterations)
+    log(f"iterations per scenario: {n_iters}")
+    total_iters = int(n_iters.sum())
+
+    best = float("inf")
+    for rep in range(3):
+        t0 = time.perf_counter()
+        run()
+        dt = time.perf_counter() - t0
+        best = min(best, dt)
+        log(f"rep {rep}: {dt:.3f}s")
+
+    iters_per_sec = total_iters / best
+
+    try:
+        with open("baseline/BASELINE_MEASURED.json") as f:
+            base = json.load(f)["workloads"]["sdp_n100_m50"]["newton_iters_per_sec"]
+    except Exception as e:  # pragma: no cover
+        log(f"baseline read failed: {e}")
+        base = None
+
+    out = {
+        "metric": f"batched dense-SDP Newton iterations/s (B={B}, n={n}, m={m}, f32, 1 chip)",
+        "value": round(iters_per_sec, 2),
+        "unit": "newton_iters/s",
+        "vs_baseline": round(iters_per_sec / base, 2) if base else None,
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

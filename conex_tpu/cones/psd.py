@@ -81,29 +81,26 @@ class DenseLMICone:
         c_dot_Qc = jnp.einsum("bik,bki->", CW, CW)  # tr(C W C W)
         return SchurOut(G=G, AW=AW, AQc=AQc, w_dot_c=w_dot_c, c_dot_Qc=c_dot_Qc)
 
-    def _lanczos_eigs(self, WS, w, minus_s):
-        """Heuristically-seeded eigenvalue estimates of WS.
+    def _extreme_eigs(self, WS):
+        """(lam_lo, lam_hi) of WS per batch element.
 
-        reference: psd_constraint.cc:63-77 — seed r = minus_s column of the
-        max diagonal entry of WS, n/2 Lanczos iterations.
+        The reference estimates these with heuristically-seeded asymmetric
+        Lanczos + a tridiagonal eigensolver (psd_constraint.cc:63-77).  A
+        tridiagonal eigensolver is bisection — branchy sequential control
+        flow that cripples XLA both at compile and run time inside the
+        jitted loop — so we use the matmul-only squaring estimator, which is
+        also *more* accurate than n/2 truncated Lanczos.
         """
-        n = self.n
-        num_iter = max(n // 2, 1)
-
-        def one(WS_b, w_b, ms_b):
-            idx = jnp.argmax(jnp.diagonal(WS_b))
-            r = ms_b[:, idx]
-            return sym.approximate_eigenvalues(WS_b, w_b, r, num_iter)
-
-        return jax.vmap(one)(WS, w, minus_s)  # (B, num_eigs)
+        return sym.extreme_eigenvalues(WS)
 
     def prepare_step(self, w, y, c_weight, e_weight):
         # reference: PrepareStep (psd_constraint.cc:45-84)
         minus_s = self._minus_s(y, c_weight)
         WS = w @ minus_s
-        eigs = self._lanczos_eigs(WS, w, minus_s)
-        shifted = e_weight + eigs
-        norminf = jnp.max(jnp.abs(shifted))
+        lo, hi = self._extreme_eigs(WS)
+        norminf = jnp.max(
+            jnp.maximum(jnp.abs(e_weight + lo), jnp.abs(e_weight + hi))
+        )
         # norm2 = tr(WS WS) + 2 tr(WS) + rank (psd_constraint.cc:79-80;
         # the reference assumes e_weight = 1 here).
         normsq = (
@@ -135,9 +132,9 @@ class DenseLMICone:
         # reference: GetWeightedSlackEigenvalues (psd_constraint.cc:97-128)
         minus_s = self._minus_s(y, c_weight)
         WS = w @ minus_s
-        eigs = self._lanczos_eigs(WS, w, minus_s)
-        lam_max = -jnp.min(eigs, axis=-1)
-        lam_min = -jnp.max(eigs, axis=-1)
+        lo, hi = self._extreme_eigs(WS)
+        lam_max = -lo
+        lam_min = -hi
         return SlackStats(
             lam_min=jnp.min(lam_min),
             lam_max=jnp.max(lam_max),

@@ -22,6 +22,7 @@ from .config import COLDSTART, WARMSTART, KKT_SOLVER_LDLT, SolverConfig
 from .cones.equality import EqualityBlock
 from .cones.lp import LinearCone
 from .cones.psd import DenseLMICone
+from .cones.qcost import QuadraticCost
 from .cones.soc import SOCCone
 from .solver.loop import SolveResult, solve_compiled
 
@@ -60,6 +61,7 @@ class Program:
         self._blocks: List = []
         self._eq_blocks: List[EqualityBlock] = []
         self._dual_size = 0
+        self._has_quadratic_cost = False
         self._ws = None  # warmstart state (final cone iterates)
         self._scalings = None  # (b_scaling, c_scaling) from last solve
         self._last_result: Optional[SolveResult] = None
@@ -134,6 +136,23 @@ class Program:
         )
         return len(self._blocks) - 1
 
+    def add_quadratic_cost(self, Q, variables=None):
+        """Adds -1/2 y'Q y to the (maximized) objective.
+
+        reference: Program::AddQuadraticCost (cone_program.cc:554-570).
+        Requires enable_line_search and no rescaling at solve time
+        (reference guard cone_program.cc:237-240, enforced in solve()).
+        """
+        Q = np.atleast_2d(np.asarray(Q, dtype=np.float64))
+        if Q.shape[0] != Q.shape[1] or not np.allclose(Q, Q.T):
+            raise ValueError("quadratic cost must be square symmetric")
+        vars_ = _as_tuple_or_none(variables, self.num_vars, Q.shape[0])
+        self._has_quadratic_cost = True
+        self._blocks.append(
+            QuadraticCost(Q=jnp.asarray(Q, self.dtype), vars_=vars_)
+        )
+        return len(self._blocks) - 1
+
     def add_equality_constraint(self, A, b, variables=None):
         """A y = b (reference EqualityConstraints)."""
         A = np.atleast_2d(np.asarray(A, dtype=np.float64))
@@ -167,6 +186,14 @@ class Program:
     def solve(self, b, config: Optional[SolverConfig] = None) -> Result:
         """Maximize b'y over the constraints.  reference: Solve(b, prog, ...)."""
         config = self._default_config(config)
+        if self._has_quadratic_cost and not (
+            config.enable_line_search and not config.enable_rescaling
+        ):
+            # reference guard: cone_program.cc:237-240.
+            raise ValueError(
+                "quadratic costs require enable_line_search=True and "
+                "enable_rescaling=False"
+            )
         b = jnp.asarray(np.asarray(b, dtype=np.float64).reshape(-1), self.dtype)
         if b.shape[0] != self.num_vars:
             raise ValueError("objective dimension mismatch")

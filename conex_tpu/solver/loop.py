@@ -88,14 +88,15 @@ def _scatter_vec(x, vars_, xi):
     return x.at[ix].add(xi)
 
 
-def assemble(blocks, eq_blocks, ws, n_kkt: int, m: int, dtype):
+def assemble(blocks, eq_blocks, ws, n_kkt: int, m: int, dtype, axis_name=None):
     """Assemble the dense KKT matrix and residuals from block contributions.
 
     reference: Assemble + AssembleSchurComplementResiduals
     (cone_program.cc:339-340, constraint_manager.h:107-124,
     equality_constraint.cc:13-28).  The global system is a sum of independent
-    per-block contributions — the additive structure that later shards across
-    devices with psum/reduce_scatter.
+    per-block contributions; with ``axis_name`` set (constraint-sharded SPMD
+    via shard_map) the partial sums ride ICI as a single psum — the additive
+    structure called out in SURVEY.md §5.8.
     """
     G = jnp.zeros((n_kkt, n_kkt), dtype=dtype)
     AW = jnp.zeros((n_kkt,), dtype=dtype)
@@ -121,6 +122,10 @@ def assemble(blocks, eq_blocks, ws, n_kkt: int, m: int, dtype):
             G = G.at[rows[:, None], ix[None, :]].add(eq.A)
             G = G.at[ix[:, None], rows[None, :]].add(eq.A.T)
         AQc = AQc.at[off:off + p].add(eq.b)
+    if axis_name is not None:
+        G, AW, AQc, w_dot_c, c_dot_Qc = jax.lax.psum(
+            (G, AW, AQc, w_dot_c, c_dot_Qc), axis_name
+        )
     return G, AW, AQc, w_dot_c, c_dot_Qc
 
 
@@ -129,7 +134,7 @@ def assemble(blocks, eq_blocks, ws, n_kkt: int, m: int, dtype):
 # ---------------------------------------------------------------------------
 
 
-def _prepare_step_all(blocks, ws, y, c_weight, e_weight):
+def _prepare_step_all(blocks, ws, y, c_weight, e_weight, axis_name=None):
     """reference: PrepareStep sweep, cone_program.h:69-90."""
     caches = []
     norminf = jnp.asarray(-1.0, dtype=y.dtype)
@@ -140,6 +145,9 @@ def _prepare_step_all(blocks, ws, y, c_weight, e_weight):
         caches.append(cache)
         norminf = jnp.maximum(norminf, ninf)
         normsq = normsq + nsq
+    if axis_name is not None:
+        norminf = jax.lax.pmax(norminf, axis_name)
+        normsq = jax.lax.psum(normsq, axis_name)
     return tuple(caches), norminf, normsq
 
 
@@ -151,7 +159,7 @@ def _take_step_all(blocks, ws, caches, step_size):
     )
 
 
-def _slack_stats_all(blocks, ws, y, c_weight, dtype):
+def _slack_stats_all(blocks, ws, y, c_weight, dtype, axis_name=None):
     """reference: GetWeightedSlackEigenvalues agg, cone_program.cc:31-57.
 
     Initial lam bounds +/-30000 replicate the reference exactly
@@ -172,6 +180,13 @@ def _slack_stats_all(blocks, ws, y, c_weight, dtype):
             frob_sq=agg.frob_sq + s.frob_sq,
             trace=agg.trace + s.trace,
         )
+    if axis_name is not None:
+        agg = SlackAgg(
+            lam_min=jax.lax.pmin(agg.lam_min, axis_name),
+            lam_max=jax.lax.pmax(agg.lam_max, axis_name),
+            frob_sq=jax.lax.psum(agg.frob_sq, axis_name),
+            trace=jax.lax.psum(agg.trace, axis_name),
+        )
     return agg
 
 
@@ -184,7 +199,9 @@ def _identity_all(blocks, dtype):
 # ---------------------------------------------------------------------------
 
 
-def _mu_line_search(blocks, ws, fac, config, AW, AQc_s, b_s_vec, c_scaling, dtype):
+def _mu_line_search(
+    blocks, ws, fac, config, AW, AQc_s, b_s_vec, c_scaling, dtype, axis_name=None
+):
     """reference: ComputeMuFromLineSearch, cone_program.cc:118-160."""
     refine = config.iterative_refinement_iterations
     mode = config.kkt_solver
@@ -206,17 +223,24 @@ def _mu_line_search(blocks, ws, fac, config, AW, AQc_s, b_s_vec, c_scaling, dtyp
         lower = jnp.maximum(lower, lo)
         upper = jnp.minimum(upper, up)
         fail = fail | f
+    if axis_name is not None:
+        lower = jax.lax.pmax(lower, axis_name)
+        upper = jax.lax.pmin(upper, axis_name)
+        fail = jax.lax.psum(fail.astype(jnp.int32), axis_name) > 0
     fail = fail | (lower > upper)
     return jnp.where(fail, -1.0, upper)
 
 
-def _mu_divergence(blocks, ws, fac, config, AQc_s, b_s_vec, c_scaling, rank_k, dtype):
+def _mu_divergence(
+    blocks, ws, fac, config, AQc_s, b_s_vec, c_scaling, rank_k, dtype,
+    axis_name=None,
+):
     """reference: ComputeMuFromDivergence, cone_program.cc:173-214."""
     ydiv = kkt.solve(
         fac, AQc_s - b_s_vec, config.kkt_solver,
         config.iterative_refinement_iterations,
     )
-    p = _slack_stats_all(blocks, ws, ydiv, c_scaling, dtype)
+    p = _slack_stats_all(blocks, ws, ydiv, c_scaling, dtype, axis_name)
     return mu_from_divergence(p, rank_k, config.divergence_upper_bound)
 
 
@@ -232,7 +256,14 @@ def _solve_impl(
     init_ws,
     init_scalars,
     config: SolverConfig,
+    axis_name: Optional[str] = None,
+    rank_override: Optional[float] = None,
 ):
+    """``axis_name``: set when running constraint-sharded under shard_map —
+    each device holds a subset of the cone blocks; all cross-cone
+    aggregations (Schur sums, norm maxima, slack-eigenvalue extrema) become
+    XLA collectives over that mesh axis.  ``rank_override`` must then be the
+    *global* rank sum across devices."""
     dtype = b.dtype
     m = b.shape[0]
     n_dual = sum(eq.p for eq in eq_blocks)
@@ -240,6 +271,9 @@ def _solve_impl(
     b_full = jnp.zeros((n_kkt,), dtype).at[:m].set(b)
 
     rank_k = float(sum(blk.rank() for blk in blocks))
+    if rank_override is not None:
+        rank_k = float(rank_override)
+    has_qcost = any(getattr(blk, "is_cost", False) for blk in blocks)
     warmstart = config.initialization_mode == WARMSTART
     mode = config.kkt_solver
     refine = config.iterative_refinement_iterations
@@ -264,7 +298,7 @@ def _solve_impl(
 
         # --- Assemble (cone_program.cc:338-341) ---
         G, AW, AQc, w_dot_c, c_dot_Qc = assemble(
-            blocks, eq_blocks, s.ws, n_kkt, m, dtype
+            blocks, eq_blocks, s.ws, n_kkt, m, dtype, axis_name
         )
 
         # --- First-iteration rescaling (cone_program.cc:343-357) ---
@@ -320,13 +354,13 @@ def _solve_impl(
                 if config.enable_line_search:
                     temp = _mu_line_search(
                         blocks, s.ws, fac, config, AW, AQc_s, b_s_vec,
-                        c_scaling, dtype,
+                        c_scaling, dtype, axis_name,
                     )
                     temp = jnp.where(temp < 0, k_prev, temp)
                 else:
                     temp = _mu_divergence(
                         blocks, s.ws, fac, config, AQc_s, b_s_vec,
-                        c_scaling, rank_k, dtype,
+                        c_scaling, rank_k, dtype, axis_name,
                     )
                 k_new = jnp.where(temp > 0, temp, k_prev * 0.5)
                 return k_new, centering_steps
@@ -349,7 +383,7 @@ def _solve_impl(
             # --- PrepareStep (cone_program.cc:416-426) ---
             c_weight = k * c_scaling
             caches, norminf, normsq = _prepare_step_all(
-                blocks, s.ws, y, c_weight, 1.0
+                blocks, s.ws, y, c_weight, 1.0, axis_name
             )
             step_size = jnp.minimum(1.0, 2.0 / (norminf * norminf))
 
@@ -375,7 +409,12 @@ def _solve_impl(
             ) / (k * b_scaling)
             mu = 1.0 / (k * k)
             s_dot_x = mu * (rank_k - d_2sq) / (b_scaling * c_scaling)
-            kkt_error = jnp.abs(cx - by - s_dot_x) / s_dot_x
+            if has_qcost:
+                # reference computes kkt_error only without quadratic costs
+                # (cone_program.cc:463-468).
+                kkt_error = s.kkt_error
+            else:
+                kkt_error = jnp.abs(cx - by - s_dot_x) / s_dot_x
 
             stats_k = s.stats_k.at[i].set(k)
             stats_dinf = s.stats_dinf.at[i].set(d_inf)
@@ -410,6 +449,11 @@ def _solve_impl(
         return jax.lax.cond(fac.fail, on_factor_fail, on_factor_ok, s)
 
     def body(s: LoopState) -> LoopState:
+        # Under vmap the while_loop body keeps running until *all* batch
+        # elements finish; completed programs must be a strict no-op.
+        return jax.lax.cond(s.done, lambda s_: s_, _body_active, s)
+
+    def _body_active(s: LoopState) -> LoopState:
         # Break-before-assemble: final centering budget exhausted
         # (cone_program.cc:331-336).
         i = s.i
@@ -473,7 +517,9 @@ def _solve_impl(
         # (cone_program.cc:500-516).  The reference returns before this on
         # factorization failure (cone_program.cc:360-371), so a failed run
         # must not poison the final iterates with NaNs — keep the loop's W.
-        G, AW, AQc, _, _ = assemble(blocks, eq_blocks, ws_final, n_kkt, m, dtype)
+        G, AW, AQc, _, _ = assemble(
+            blocks, eq_blocks, ws_final, n_kkt, m, dtype, axis_name
+        )
         fac = kkt.factor(G, mode)
         bres = s.k * b_full * s.b_scaling - AW
         y2 = kkt.solve(fac, bres, mode, refine)
