@@ -32,6 +32,21 @@ from ..config import SolverConfig
 from ..solver.loop import _solve_impl
 
 
+@functools.lru_cache(maxsize=None)
+def _scenario_solver(config: SolverConfig):
+    """Cached jitted vmapped solver.  Building the closure per call would
+    retrace on every invocation (jit caches by function identity)."""
+
+    @jax.jit
+    def run(blocks, eq_blocks, b, init_ws, init_scalars):
+        def one(blocks_, eqs_, b_, ws_, scalars_):
+            return _solve_impl(blocks_, eqs_, b_, ws_, scalars_, config)
+
+        return jax.vmap(one)(blocks, eq_blocks, b, init_ws, init_scalars)
+
+    return run
+
+
 def solve_scenarios(blocks, eq_blocks, b, init_ws, init_scalars, config,
                     mesh: Optional[Mesh] = None, axis: str = "dp"):
     """Solve a batch of same-structure programs, vmapped over the leading
@@ -40,17 +55,45 @@ def solve_scenarios(blocks, eq_blocks, b, init_ws, init_scalars, config,
     With ``mesh`` given, the scenario axis is sharded over ``axis`` —
     pure data parallelism, no cross-chip traffic inside the solve.
     """
-
-    def one(blocks_, eqs_, b_, ws_, scalars_):
-        return _solve_impl(blocks_, eqs_, b_, ws_, scalars_, config)
-
-    fn = jax.vmap(one)
     if mesh is not None:
         shard = NamedSharding(mesh, P(axis))
         args = (blocks, eq_blocks, b, init_ws, init_scalars)
         args = jax.tree.map(lambda x: jax.device_put(x, shard), args)
         blocks, eq_blocks, b, init_ws, init_scalars = args
-    return jax.jit(fn)(blocks, eq_blocks, b, init_ws, init_scalars)
+    return _scenario_solver(config)(blocks, eq_blocks, b, init_ws, init_scalars)
+
+
+@functools.lru_cache(maxsize=None)
+def _cone_sharded_solver(config: SolverConfig, mesh: Mesh, axis: str,
+                         total_rank: float):
+    @jax.jit
+    def run(blocks, eq_blocks, b, init_ws, init_scalars):
+        # Block *data* shards along each block's leading cone-batch axis;
+        # the static metadata (vars_) rides along.  b/scalars replicate.
+        blocks_spec = jax.tree.map(lambda _: P(axis), blocks)
+        ws_spec = jax.tree.map(lambda _: P(axis), init_ws)
+        eq_spec = jax.tree.map(lambda _: P(), eq_blocks)
+        rep = P()
+
+        def inner(blocks_loc, eqs_loc, b_, ws_loc, scalars_):
+            res = _solve_impl(
+                blocks_loc, eqs_loc, b_, ws_loc, scalars_, config,
+                axis_name=axis, rank_override=total_rank,
+            )
+            ws_out = res.ws
+            return res._replace(ws=()), ws_out
+
+        fn = jax.shard_map(
+            inner,
+            mesh=mesh,
+            in_specs=(blocks_spec, eq_spec, rep, ws_spec, rep),
+            out_specs=(rep, ws_spec),
+            check_vma=False,
+        )
+        res, ws = fn(blocks, eq_blocks, b, init_ws, init_scalars)
+        return res._replace(ws=ws)
+
+    return run
 
 
 def solve_cone_sharded(blocks, eq_blocks, b, init_ws, init_scalars,
@@ -63,32 +106,9 @@ def solve_cone_sharded(blocks, eq_blocks, b, init_ws, init_scalars,
     block iterates sharded like their blocks.
     """
     total_rank = float(sum(blk.rank() for blk in blocks))
-
-    # Block *data* shards along each block's leading cone-batch axis; the
-    # static metadata (vars_) is closed over.  b and scalars replicate.
-    blocks_spec = jax.tree.map(lambda _: P(axis), blocks)
-    ws_spec = jax.tree.map(lambda _: P(axis), init_ws)
-    eq_spec = jax.tree.map(lambda _: P(), eq_blocks)
-    rep = P()
-
-    @functools.partial(
-        jax.shard_map,
-        mesh=mesh,
-        in_specs=(blocks_spec, eq_spec, rep, ws_spec, rep),
-        out_specs=(rep, ws_spec),
-        check_vma=False,
+    return _cone_sharded_solver(config, mesh, axis, total_rank)(
+        blocks, eq_blocks, b, init_ws, init_scalars
     )
-    def run(blocks_loc, eqs_loc, b_, ws_loc, scalars_):
-        res = _solve_impl(
-            blocks_loc, eqs_loc, b_, ws_loc, scalars_, config,
-            axis_name=axis, rank_override=total_rank,
-        )
-        ws_out = res.ws
-        res = res._replace(ws=())
-        return res, ws_out
-
-    res, ws = jax.jit(run)(blocks, eq_blocks, b, init_ws, init_scalars)
-    return res._replace(ws=ws)
 
 
 def solve_scenarios_cone_sharded(
@@ -104,33 +124,43 @@ def solve_scenarios_cone_sharded(
     here, so it cannot be derived from block shapes).
     """
 
-    blocks_spec = jax.tree.map(lambda _: P(dp_axis, tp_axis), blocks)
-    ws_spec = jax.tree.map(lambda _: P(dp_axis, tp_axis), init_ws)
-    eq_spec = jax.tree.map(lambda _: P(dp_axis), eq_blocks)
-    b_spec = P(dp_axis)
-    scal_spec = jax.tree.map(lambda _: P(dp_axis), init_scalars)
-    out_rep = P(dp_axis)
+    return _scenario_cone_sharded_solver(
+        config, mesh, dp_axis, tp_axis, float(total_rank)
+    )(blocks, eq_blocks, b, init_ws, init_scalars)
 
-    @functools.partial(
-        jax.shard_map,
-        mesh=mesh,
-        in_specs=(blocks_spec, eq_spec, b_spec, ws_spec, scal_spec),
-        out_specs=(out_rep, ws_spec),
-        check_vma=False,
-    )
-    def run(blocks_loc, eqs_loc, b_loc, ws_loc, scalars_loc):
-        def one(blocks_, eqs_, b_, ws_, scalars_):
-            return _solve_impl(
-                blocks_, eqs_, b_, ws_, scalars_, config,
-                axis_name=tp_axis, rank_override=total_rank,
-            )
 
-        res = jax.vmap(one, in_axes=(0, 0, 0, 0, 0))(
-            blocks_loc, eqs_loc, b_loc, ws_loc, scalars_loc
+@functools.lru_cache(maxsize=None)
+def _scenario_cone_sharded_solver(config: SolverConfig, mesh: Mesh,
+                                  dp_axis: str, tp_axis: str,
+                                  total_rank: float):
+    @jax.jit
+    def run(blocks, eq_blocks, b, init_ws, init_scalars):
+        blocks_spec = jax.tree.map(lambda _: P(dp_axis, tp_axis), blocks)
+        ws_spec = jax.tree.map(lambda _: P(dp_axis, tp_axis), init_ws)
+        eq_spec = jax.tree.map(lambda _: P(dp_axis), eq_blocks)
+        b_spec = P(dp_axis)
+        scal_spec = jax.tree.map(lambda _: P(dp_axis), init_scalars)
+        out_rep = P(dp_axis)
+
+        def inner(blocks_loc, eqs_loc, b_loc, ws_loc, scalars_loc):
+            def one(blocks_, eqs_, b_, ws_, scalars_):
+                return _solve_impl(
+                    blocks_, eqs_, b_, ws_, scalars_, config,
+                    axis_name=tp_axis, rank_override=total_rank,
+                )
+
+            res = jax.vmap(one)(blocks_loc, eqs_loc, b_loc, ws_loc, scalars_loc)
+            ws_out = res.ws
+            return res._replace(ws=()), ws_out
+
+        fn = jax.shard_map(
+            inner,
+            mesh=mesh,
+            in_specs=(blocks_spec, eq_spec, b_spec, ws_spec, scal_spec),
+            out_specs=(out_rep, ws_spec),
+            check_vma=False,
         )
-        ws_out = res.ws
-        res = res._replace(ws=())
-        return res, ws_out
+        res, ws = fn(blocks, eq_blocks, b, init_ws, init_scalars)
+        return res._replace(ws=ws)
 
-    res, ws = jax.jit(run)(blocks, eq_blocks, b, init_ws, init_scalars)
-    return res._replace(ws=ws)
+    return run

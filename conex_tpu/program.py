@@ -21,6 +21,7 @@ import numpy as np
 from .config import COLDSTART, WARMSTART, KKT_SOLVER_LDLT, SolverConfig
 from .cones.equality import EqualityBlock
 from .cones.lp import LinearCone
+from .cones.hermitian import HermitianCone
 from .cones.psd import DenseLMICone
 from .cones.qcost import QuadraticCost
 from .cones.soc import SOCCone
@@ -129,6 +130,52 @@ class Program:
         vars_ = _as_tuple_or_none(variables, self.num_vars, A.shape[1])
         self._blocks.append(
             DenseLMICone(
+                A=jnp.asarray(A, self.dtype),
+                C=jnp.asarray(C, self.dtype),
+                vars_=vars_,
+            )
+        )
+        return len(self._blocks) - 1
+
+    def add_hermitian_constraint(self, A, C, variables=None):
+        """C - sum_i y_i A_i PSD in a hypercomplex Hermitian algebra.
+
+        reference: HermitianPsdConstraint<T> (hermitian_psd.h).  Formats:
+        - complex dtype A: (v, n, n), C: (n, n) -> complex algebra (d = 2)
+        - real stacked A: (v, d, n, n), C: (d, n, n), d in {1, 2, 4, 8}
+        - batched real stacked A: (B, v, d, n, n), C: (B, d, n, n)
+        Component 0 must be symmetric, components >= 1 skew-symmetric.
+        Octonions (d = 8) require n <= 3 (the Albert algebra).
+        """
+        A = np.asarray(A)
+        C = np.asarray(C)
+        if np.iscomplexobj(A):
+            A = np.stack([A.real, A.imag], axis=-3)
+            C = np.stack([np.asarray(C).real, np.asarray(C).imag], axis=-3)
+        A = A.astype(np.float64)
+        C = C.astype(np.float64)
+        if A.ndim == 4:
+            A = A[None]
+            C = C[None]
+        if A.ndim != 5 or C.ndim != 4 or A.shape[2:] != C.shape[1:] or A.shape[0] != C.shape[0]:
+            raise ValueError(
+                "Hermitian LMI shapes must be A:(B,v,d,n,n), C:(B,d,n,n)"
+            )
+        d = A.shape[2]
+        if d not in (1, 2, 4, 8):
+            raise ValueError("algebra dimension must be 1, 2, 4, or 8")
+        if d == 8 and A.shape[-1] > 3:
+            raise ValueError("octonion Hermitian cones require order <= 3")
+        for M in (A.reshape(-1, d, *A.shape[-2:]), C.reshape(-1, d, *C.shape[-2:])):
+            if not np.allclose(M[:, 0], np.swapaxes(M[:, 0], -1, -2)):
+                raise ValueError("component 0 must be symmetric")
+            if d > 1 and not np.allclose(
+                M[:, 1:], -np.swapaxes(M[:, 1:], -1, -2)
+            ):
+                raise ValueError("components >= 1 must be skew-symmetric")
+        vars_ = _as_tuple_or_none(variables, self.num_vars, A.shape[1])
+        self._blocks.append(
+            HermitianCone(
                 A=jnp.asarray(A, self.dtype),
                 C=jnp.asarray(C, self.dtype),
                 vars_=vars_,
