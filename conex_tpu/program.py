@@ -24,6 +24,7 @@ from .cones.lp import LinearCone
 from .cones.hermitian import HermitianCone
 from .cones.psd import DenseLMICone
 from .cones.qcost import QuadraticCost
+from .cones.quadratic import QuadraticCone, epigraph_cone_data
 from .cones.soc import SOCCone
 from .solver.loop import SolveResult, solve_compiled
 
@@ -136,6 +137,57 @@ class Program:
             )
         )
         return len(self._blocks) - 1
+
+    def add_quadratic_cone_constraint(self, A, c, Q=None, variables=None):
+        """c - A y in the Q-weighted Lorentz cone (reference
+        QuadraticConstraint): slack (s0, s1) with s0 >= sqrt(s1' Q s1).
+
+        A: (n+1, v), c: (n+1,), Q: (n, n) PSD or None (identity); or the
+        batched forms with a leading B axis.
+        """
+        A = np.asarray(A, dtype=np.float64)
+        c = np.asarray(c, dtype=np.float64)
+        if A.ndim == 2:
+            A = A[None]
+            c = c[None]
+            if Q is not None:
+                Q = np.asarray(Q, dtype=np.float64)[None]
+        if A.shape[:2] != c.shape:
+            raise ValueError("A and c batch/cone dimensions must match")
+        if Q is not None:
+            Q = np.asarray(Q, dtype=np.float64)
+            if Q.shape != (A.shape[0], A.shape[1] - 1, A.shape[1] - 1):
+                raise ValueError("Q must be (B, n, n) matching A")
+        vars_ = _as_tuple_or_none(variables, self.num_vars, A.shape[2])
+        self._blocks.append(
+            QuadraticCone.build(
+                jnp.asarray(A, self.dtype),
+                jnp.asarray(c, self.dtype),
+                None if Q is None else jnp.asarray(Q, self.dtype),
+                vars_=vars_,
+            )
+        )
+        return len(self._blocks) - 1
+
+    def add_quadratic_cost_epigraph(self, Qi, variables, epigraph_variable):
+        """Adds the constraint t >= 1/2 x'Qi x via a Q-weighted Lorentz cone,
+        where x = variables and t = epigraph_variable.
+
+        reference: AddQuadraticCostEpigraph
+        (quadratic_cone_constraint.h:91-118).  Add -1 * t to the objective
+        to minimize the quadratic cost.
+        """
+        Qi = np.atleast_2d(np.asarray(Qi, dtype=np.float64))
+        variables = list(variables)
+        if len(variables) != Qi.shape[0]:
+            raise ValueError("Qi order must match number of variables")
+        Q, A, b = epigraph_cone_data(jnp.asarray(Qi, self.dtype))
+        return self.add_quadratic_cone_constraint(
+            np.asarray(A),
+            np.asarray(b),
+            Q=np.asarray(Q),
+            variables=variables + [int(epigraph_variable)],
+        )
 
     def add_hermitian_constraint(self, A, C, variables=None):
         """C - sum_i y_i A_i PSD in a hypercomplex Hermitian algebra.

@@ -1,0 +1,194 @@
+"""High-level Conex API tests.
+
+Ports the reference's Python suite
+(/root/reference/interfaces/python/test/run_tests.py) to the conex_tpu
+interface layer: mixed LP+LMI solves through ComputeErrors, sparse LMIs,
+incremental constraint construction over all hypercomplex dimensions,
+Lorentz cones, iteration statistics, and box inequalities.
+"""
+
+import numpy as np
+import pytest
+
+from conex_tpu.interface import Conex, preprocess_linear_inequality
+
+
+def randsym(n, rng):
+    M = rng.normal(size=(n, n))
+    return 0.5 * (M + M.T)
+
+
+def check_errors(err, eps=1e-5):
+    return err.Ax_minus_b < eps and err.x_dot_s < eps
+
+
+def test_random_instance_mixed_lp_lmi():
+    """reference: TestRandomInstance (run_tests.py:62-88)."""
+    rng = np.random.default_rng(0)
+    m = 2
+    A1 = np.ones((3, m)); A1[0, 1] = 3; A1[1, 0] = 4
+    c1 = np.ones(3)
+    A2 = np.ones((3, m)); A2[0, 1] = 3; A2[1, 0] = 4
+    c2 = np.ones(3)
+    b = A1.T @ c1
+
+    prog = Conex(m)
+    prog.AddLinearInequality(A1, c1)
+    prog.AddLinearInequality(A2, c2)
+
+    n = 4
+    Amat = np.stack([randsym(n, rng) for _ in range(m)])
+    Amat[m - 1] = 0.0
+    Amat[m - 1][0, 0] = 1.0
+    cmat = np.eye(n)
+    prog.AddDenseLinearMatrixInequality(Amat, cmat)
+
+    sol = prog.Maximize(b)
+    assert sol.status
+    x = prog.GetDualVariables()
+    _, err = prog.ComputeErrors(sol.y, x, b)
+    assert check_errors(err)
+
+
+def test_sparse_instance():
+    """reference: TestSparseInstance (run_tests.py:91-112)."""
+    rng = np.random.default_rng(1)
+    prog = Conex(3)
+    n, m1, m2 = 4, 2, 2
+    cmat = np.eye(n)
+    A1 = np.stack([randsym(n, rng) for _ in range(m1)])
+    prog.AddSparseLinearMatrixInequality(A1, cmat, np.arange(0, m1))
+    A2 = np.stack([randsym(n, rng) for _ in range(m2)])
+    prog.AddSparseLinearMatrixInequality(A2, cmat, np.arange(1, m2 + 1))
+    sol = prog.Maximize(np.ones(3))
+    assert sol.status
+
+
+@pytest.mark.parametrize("d", [1, 2, 4, 8])
+def test_solve_hermitian_lmi_known_solution(d):
+    """reference: SolveHermitianLMI (run_tests.py:299-321) — tridiagonal
+    Hermitian LMI with known solution y = -1."""
+    order = 3
+    num_vars = order - 1
+    prog = Conex(num_vars)
+    con = prog.NewLinearMatrixInequality(order, d)
+    for i in range(num_vars):
+        prog.UpdateLinearOperator(con, -1.0, i, i + 1, i, d - 1)
+    for i in range(order):
+        prog.UpdateAffineTerm(con, 2.0 if i == 1 else 1.0, i, i, 0)
+    sol = prog.Maximize(-np.ones(num_vars))
+    assert sol.status
+    assert np.linalg.norm(sol.y + np.ones(num_vars)) < 1e-5
+
+
+@pytest.mark.parametrize("d", [1, 2, 4, 8])
+def test_random_hermitian_lmi(d):
+    """reference: SolveRandomHermitianLMI (run_tests.py:323-332)."""
+    rng = np.random.default_rng(d)
+    order = 3 if d == 8 else 6
+    num_vars = 4
+    prog = Conex(num_vars)
+    con = prog.NewLinearMatrixInequality(order, d)
+    b = np.zeros(num_vars)
+    for k in range(d):
+        for i in range(order):
+            prog.UpdateAffineTerm(con, 1.0, i, i, 0)
+            jstart = i if k == 0 else i + 1
+            for j in range(jstart, order):
+                for v in range(num_vars):
+                    val = rng.normal()
+                    prog.UpdateLinearOperator(con, val, v, i, j, k)
+                    if i == j and k == 0:
+                        b[v] += val
+    sol = prog.Maximize(b)
+    assert sol.status
+
+
+def test_random_socp_incremental():
+    """reference: SolveRandomSOCP (run_tests.py:348-356)."""
+    rng = np.random.default_rng(5)
+    order, num_vars = 8, 4
+    prog = Conex(num_vars)
+    con = prog.NewLorentzConeConstraint(order)
+    b = np.zeros(num_vars)
+    prog.UpdateAffineTerm(con, 1.0, 0)
+    for i in range(order + 1):
+        for v in range(num_vars):
+            val = rng.normal()
+            prog.UpdateLinearOperator(con, val, v, i)
+            if i == 0:
+                b[v] += val
+    sol = prog.Maximize(b)
+    assert sol.status
+
+
+def test_iteration_stats():
+    """reference: GetIterationStats with circular indexing."""
+    rng = np.random.default_rng(6)
+    m = 3
+    A = rng.uniform(-1, 1, (8, m))
+    c = np.abs(rng.uniform(-1, 1, 8)) + 0.5
+    b = A.T @ np.abs(rng.uniform(0, 1, 8))
+    prog = Conex(m)
+    prog.AddLinearInequality(A, c)
+    sol = prog.Maximize(b)
+    assert sol.status
+    stats = prog.GetIterationStats()
+    assert len(stats) >= 2
+    mus = [s.mu for s in stats]
+    assert all(mus[i + 1] <= mus[i] + 1e-9 for i in range(len(mus) - 1))
+    assert prog.GetIterationNumberStats(-1).mu == pytest.approx(mus[-1])
+
+
+def test_box_inequalities():
+    """AddLinearInequalities splits boxes into inequalities + equalities
+    (reference PreprocessLinearInequality)."""
+    m = 3
+    A = np.eye(m)
+    lb = np.array([-1.0, 0.5, -1e10])
+    ub = np.array([2.0, 0.5, 3.0])  # row 1 is an equality y_1 = 0.5
+    prog = Conex(m)
+    prog.AddLinearInequalities(A, lb, ub)
+    b = np.array([1.0, 1.0, 1.0])
+    sol = prog.Maximize(b)
+    assert sol.status
+    assert sol.y[0] == pytest.approx(2.0, abs=1e-4)
+    assert sol.y[1] == pytest.approx(0.5, abs=1e-6)
+    assert sol.y[2] == pytest.approx(3.0, abs=1e-4)
+
+
+def test_preprocess_linear_inequality():
+    A = np.array([[1.0, 0.0], [0.0, 1.0], [1.0, 1.0]])
+    lb = np.array([0.0, -np.inf, 1.0])
+    ub = np.array([1.0, 2.0, 1.0])
+    Aineq, bineq, Aeq, beq = preprocess_linear_inequality(A, lb, ub)
+    assert Aeq.shape == (1, 2)  # the lb == ub row
+    assert Aineq.shape == (3, 2)  # ub row 0, lb row 0, ub row 1
+    # normalization: each row scaled by 1/sqrt(|a|^2 + rhs^2)
+    np.testing.assert_allclose(
+        np.linalg.norm(Aineq[0]) ** 2 + bineq[0] ** 2, 1.0
+    )
+
+
+def test_mixed_hermitian_program():
+    """reference: SolveRandomMixedHermitian — one program containing LMIs
+    over several algebras simultaneously."""
+    rng = np.random.default_rng(7)
+    num_vars = 3
+    prog = Conex(num_vars)
+    b = np.zeros(num_vars)
+    for d in [1, 2, 4]:
+        order = 4
+        con = prog.NewLinearMatrixInequality(order, d)
+        for k in range(d):
+            for i in range(order):
+                prog.UpdateAffineTerm(con, 1.0, i, i, 0)
+                jstart = i if k == 0 else i + 1
+                for j in range(jstart, order):
+                    for v in range(num_vars):
+                        val = 0.3 * rng.normal()
+                        prog.UpdateLinearOperator(con, val, v, i, j, k)
+                        if i == j and k == 0:
+                            b[v] += val
+    sol = prog.Maximize(b)
+    assert sol.status
