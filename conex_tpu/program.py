@@ -273,6 +273,42 @@ class Program:
 
     # -- solving -----------------------------------------------------------
 
+    def _kkt_structure(self):
+        """Supernodal clique-tree structure when the program is sparse.
+
+        Cliques are per-block variable sets, with equality dual indices
+        appended to their constraint's clique (reference
+        constraint_manager.h:71-86).  Dense programs (every block spanning
+        all variables) use the dense factorization.  reference: kkt_solver.cc
+        104-116 (GetData on cliques + dual vars); valid_leaf weighting
+        forces dual-bearing cliques inward (clique_ordering.cc:99-107).
+        """
+        if not any(blk.vars_ is not None for blk in self._blocks) and not any(
+            eq.vars_ is not None for eq in self._eq_blocks
+        ):
+            return None
+        from .supernodal.solver import SupernodalStructure
+
+        n_kkt = self.num_vars + self._dual_size
+        cliques = []
+        valid_leaf = []
+        for blk in self._blocks:
+            c = list(blk.vars_) if blk.vars_ is not None else list(
+                range(blk.num_vars)
+            )
+            cliques.append(c)
+            valid_leaf.append(1)
+        for eq in self._eq_blocks:
+            c = list(eq.vars_) if eq.vars_ is not None else list(
+                range(eq.num_vars)
+            )
+            c = c + [self.num_vars + eq.dual_offset + i for i in range(eq.p)]
+            cliques.append(c)
+            valid_leaf.append(0)
+        return SupernodalStructure.from_cliques(
+            cliques, n_kkt, valid_leaf=valid_leaf
+        )
+
     def _default_config(self, config: Optional[SolverConfig]) -> SolverConfig:
         if config is None:
             config = SolverConfig()
@@ -301,6 +337,7 @@ class Program:
 
         blocks = tuple(self._blocks)
         eq_blocks = tuple(self._eq_blocks)
+        kkt_structure = self._kkt_structure()
 
         warm = (
             config.initialization_mode == WARMSTART
@@ -324,7 +361,10 @@ class Program:
             c_scaling=c_scaling,
         )
 
-        raw = solve_compiled(blocks, eq_blocks, b, init_ws, init_scalars, config)
+        raw = solve_compiled(
+            blocks, eq_blocks, b, init_ws, init_scalars, config,
+            kkt_structure=kkt_structure,
+        )
         raw = jax.tree.map(lambda x: np.asarray(x) if hasattr(x, "shape") else x, raw)
 
         self._ws = tuple(jnp.asarray(w) for w in raw.ws)

@@ -76,7 +76,17 @@ def _ldlt_clamped(K):
     return M, fail
 
 
-def factor(K: jnp.ndarray, mode: int) -> KKTFactor:
+def factor(K: jnp.ndarray, mode: int, structure=None) -> KKTFactor:
+    """``structure``: optional static SupernodalStructure — factors along
+    the clique tree instead of densely (QR mode ignores it)."""
+    if structure is not None and mode in (KKT_SOLVER_LLT, KKT_SOLVER_LDLT):
+        from ..supernodal import solver as sn
+
+        if mode == KKT_SOLVER_LLT:
+            fac, fail = sn.factor_llt(K, structure)
+        else:
+            fac, fail = sn.factor_ldlt(K, structure)
+        return KKTFactor(matrix=K, factor=fac, fail=fail)
     if mode == KKT_SOLVER_LLT:
         L, fail = _cholesky(K)
     elif mode == KKT_SOLVER_LDLT:
@@ -110,13 +120,20 @@ def _solve_qr(K, b):
     return jax.scipy.linalg.solve_triangular(r, q.T @ b, lower=False)
 
 
-def solve(f: KKTFactor, b: jnp.ndarray, mode: int, refinement_steps: int = 0):
+def solve(f: KKTFactor, b: jnp.ndarray, mode: int, refinement_steps: int = 0,
+          structure=None):
     """Solve K x = b with optional iterative refinement.
 
     reference: SolveInPlace + refinement loop, kkt_solver.cc:220-263.
     """
 
     def base_solve(rhs):
+        if structure is not None and mode in (KKT_SOLVER_LLT, KKT_SOLVER_LDLT):
+            from ..supernodal import solver as sn
+
+            if mode == KKT_SOLVER_LLT:
+                return sn.solve_llt(f.factor, structure, rhs)
+            return sn.solve_ldlt(f.factor, structure, rhs)
         if mode == KKT_SOLVER_LLT:
             return _solve_llt(f.factor, rhs)
         if mode == KKT_SOLVER_LDLT:

@@ -200,13 +200,14 @@ def _identity_all(blocks, dtype):
 
 
 def _mu_line_search(
-    blocks, ws, fac, config, AW, AQc_s, b_s_vec, c_scaling, dtype, axis_name=None
+    blocks, ws, fac, config, AW, AQc_s, b_s_vec, c_scaling, dtype,
+    axis_name=None, structure=None,
 ):
     """reference: ComputeMuFromLineSearch, cone_program.cc:118-160."""
     refine = config.iterative_refinement_iterations
     mode = config.kkt_solver
-    y0 = kkt.solve(fac, -2.0 * AW, mode, refine)
-    y1 = kkt.solve(fac, AQc_s + b_s_vec - 2.0 * AW, mode, refine)
+    y0 = kkt.solve(fac, -2.0 * AW, mode, refine, structure)
+    y1 = kkt.solve(fac, AQc_s + b_s_vec - 2.0 * AW, mode, refine, structure)
     lower = jnp.asarray(-jnp.inf, dtype)
     upper = jnp.asarray(jnp.inf, dtype)
     fail = jnp.asarray(False)
@@ -233,12 +234,12 @@ def _mu_line_search(
 
 def _mu_divergence(
     blocks, ws, fac, config, AQc_s, b_s_vec, c_scaling, rank_k, dtype,
-    axis_name=None,
+    axis_name=None, structure=None,
 ):
     """reference: ComputeMuFromDivergence, cone_program.cc:173-214."""
     ydiv = kkt.solve(
         fac, AQc_s - b_s_vec, config.kkt_solver,
-        config.iterative_refinement_iterations,
+        config.iterative_refinement_iterations, structure,
     )
     p = _slack_stats_all(blocks, ws, ydiv, c_scaling, dtype, axis_name)
     return mu_from_divergence(p, rank_k, config.divergence_upper_bound)
@@ -258,6 +259,7 @@ def _solve_impl(
     config: SolverConfig,
     axis_name: Optional[str] = None,
     rank_override: Optional[float] = None,
+    kkt_structure=None,
 ):
     """``axis_name``: set when running constraint-sharded under shard_map —
     each device holds a subset of the cone blocks; all cross-cone
@@ -319,7 +321,7 @@ def _solve_impl(
             b_scaling, c_scaling, k_max = s.b_scaling, s.c_scaling, s.k_max
 
         # --- Factor (cone_program.cc:359-371) ---
-        fac = kkt.factor(G, mode)
+        fac = kkt.factor(G, mode, kkt_structure)
 
         def on_factor_fail(s: LoopState) -> LoopState:
             if warmstart:
@@ -354,13 +356,13 @@ def _solve_impl(
                 if config.enable_line_search:
                     temp = _mu_line_search(
                         blocks, s.ws, fac, config, AW, AQc_s, b_s_vec,
-                        c_scaling, dtype, axis_name,
+                        c_scaling, dtype, axis_name, kkt_structure,
                     )
                     temp = jnp.where(temp < 0, k_prev, temp)
                 else:
                     temp = _mu_divergence(
                         blocks, s.ws, fac, config, AQc_s, b_s_vec,
-                        c_scaling, rank_k, dtype, axis_name,
+                        c_scaling, rank_k, dtype, axis_name, kkt_structure,
                     )
                 k_new = jnp.where(temp > 0, temp, k_prev * 0.5)
                 return k_new, centering_steps
@@ -378,7 +380,10 @@ def _solve_impl(
             k = jnp.clip(k, k_min_clamp, k_max)
 
             # --- Newton solve (cone_program.cc:409-413) ---
-            y = kkt.solve(fac, k * (b_s_vec + AQc_s) - 2.0 * AW, mode, refine)
+            y = kkt.solve(
+                fac, k * (b_s_vec + AQc_s) - 2.0 * AW, mode, refine,
+                kkt_structure,
+            )
 
             # --- PrepareStep (cone_program.cc:416-426) ---
             c_weight = k * c_scaling
@@ -520,9 +525,9 @@ def _solve_impl(
         G, AW, AQc, _, _ = assemble(
             blocks, eq_blocks, ws_final, n_kkt, m, dtype, axis_name
         )
-        fac = kkt.factor(G, mode)
+        fac = kkt.factor(G, mode, kkt_structure)
         bres = s.k * b_full * s.b_scaling - AW
-        y2 = kkt.solve(fac, bres, mode, refine)
+        y2 = kkt.solve(fac, bres, mode, refine, kkt_structure)
         skip = s.fail | fac.fail
         ws_recovered = tuple(
             blk.affine_step(w, local_vars(y2, blk.vars_, blk.num_vars), 0.0)
@@ -558,7 +563,12 @@ def _solve_impl(
     )
 
 
-@functools.partial(jax.jit, static_argnames=("config",))
-def solve_compiled(blocks, eq_blocks, b, init_ws, init_scalars, config):
-    """Jitted entry point.  ``config`` is static; everything else is traced."""
-    return _solve_impl(blocks, eq_blocks, b, init_ws, init_scalars, config)
+@functools.partial(jax.jit, static_argnames=("config", "kkt_structure"))
+def solve_compiled(blocks, eq_blocks, b, init_ws, init_scalars, config,
+                   kkt_structure=None):
+    """Jitted entry point.  ``config`` and ``kkt_structure`` are static;
+    everything else is traced."""
+    return _solve_impl(
+        blocks, eq_blocks, b, init_ws, init_scalars, config,
+        kkt_structure=kkt_structure,
+    )
