@@ -53,6 +53,21 @@ class Result:
     stats_norminf_d: np.ndarray
     _raw: SolveResult = dataclasses.field(repr=False, default=None)
 
+    def report(self) -> str:
+        """Per-iteration metric table, mirroring the reference's REPORT
+        output under CONEX_VERBOSE (cone_program.cc:460-468)."""
+        raw = self._raw
+        n = self.num_iterations
+        lines = ["  i         mu        d_2      d_inf         by         cx   kkt_err"]
+        mu = 1.0 / np.asarray(raw.stats_k)[:n] ** 2
+        for i in range(n):
+            lines.append(
+                f"{i:3d} {mu[i]:10.2e} {float(raw.stats_d2[i]):10.2e} "
+                f"{float(raw.stats_dinf[i]):10.2e} {float(raw.stats_by[i]):10.2e} "
+                f"{float(raw.stats_cx[i]):10.2e} {float(raw.stats_err[i]):9.2e}"
+            )
+        return "\n".join(lines)
+
 
 class Program:
     """A conic program: maximize b'y  s.t.  c - A y in K, A_eq y = b_eq."""
@@ -419,6 +434,33 @@ class Program:
         if not bool(raw.primal_infeasible):
             lam = lam / (float(raw.k) * float(raw.b_scaling))
         return lam
+
+    # -- checkpoint / resume ----------------------------------------------
+
+    def save_state(self) -> dict:
+        """Serializable warmstart checkpoint: the cone iterates + scalings.
+
+        The reference's checkpoint is its caller-owned arena buffer
+        (cone_program.h:106-109); here the pytree of final iterates is the
+        checkpoint — plain numpy arrays, storable with np.savez/orbax.
+        """
+        if self._ws is None:
+            raise RuntimeError("no state yet: solve first")
+        return dict(
+            ws=[np.asarray(w) for w in self._ws],
+            b_scaling=float(self._scalings[0]),
+            c_scaling=float(self._scalings[1]),
+        )
+
+    def load_state(self, state: dict) -> None:
+        """Restore a checkpoint produced by save_state; the next solve with
+        initialization_mode=WARMSTART resumes from it exactly
+        (reference test_warmstart.cc:47-79 semantics)."""
+        self._ws = tuple(jnp.asarray(w, self.dtype) for w in state["ws"])
+        self._scalings = (
+            jnp.asarray(state["b_scaling"], self.dtype),
+            jnp.asarray(state["c_scaling"], self.dtype),
+        )
 
     def get_feasible_objective(self) -> np.ndarray:
         """b = 0.5 * A(w) at w = identity — a feasible objective generator.

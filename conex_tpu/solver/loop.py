@@ -45,6 +45,10 @@ class LoopState(NamedTuple):
     num_iter: jnp.ndarray
     stats_k: jnp.ndarray  # (max_iterations,) sqrt_inv_mu per iteration
     stats_dinf: jnp.ndarray  # (max_iterations,) norm_inf_d per iteration
+    stats_d2: jnp.ndarray  # (max_iterations,) ||d||_2
+    stats_by: jnp.ndarray  # (max_iterations,) scaled objective b'y
+    stats_cx: jnp.ndarray  # (max_iterations,) scaled dual objective c'x
+    stats_err: jnp.ndarray  # (max_iterations,) kkt_error
 
 
 class SolveResult(NamedTuple):
@@ -60,6 +64,10 @@ class SolveResult(NamedTuple):
     c_scaling: jnp.ndarray
     stats_k: jnp.ndarray
     stats_dinf: jnp.ndarray
+    stats_d2: jnp.ndarray
+    stats_by: jnp.ndarray
+    stats_cx: jnp.ndarray
+    stats_err: jnp.ndarray
     fail: jnp.ndarray
 
 
@@ -423,6 +431,10 @@ def _solve_impl(
 
             stats_k = s.stats_k.at[i].set(k)
             stats_dinf = s.stats_dinf.at[i].set(d_inf)
+            stats_d2 = s.stats_d2.at[i].set(jnp.sqrt(d_2sq))
+            stats_by = s.stats_by.at[i].set(by)
+            stats_cx = s.stats_cx.at[i].set(cx)
+            stats_err = s.stats_err.at[i].set(kkt_error)
 
             # --- Termination (cone_program.cc:476-482) ---
             stop = (final_centering | (k >= k_max)) & (
@@ -449,6 +461,10 @@ def _solve_impl(
                 num_iter=i + 1,
                 stats_k=stats_k,
                 stats_dinf=stats_dinf,
+                stats_d2=stats_d2,
+                stats_by=stats_by,
+                stats_cx=stats_cx,
+                stats_err=stats_err,
             )
 
         return jax.lax.cond(fac.fail, on_factor_fail, on_factor_ok, s)
@@ -503,6 +519,10 @@ def _solve_impl(
         num_iter=jnp.zeros((), jnp.int32),
         stats_k=jnp.zeros((config.max_iterations,), dtype),
         stats_dinf=jnp.zeros((config.max_iterations,), dtype),
+        stats_d2=jnp.zeros((config.max_iterations,), dtype),
+        stats_by=jnp.zeros((config.max_iterations,), dtype),
+        stats_cx=jnp.zeros((config.max_iterations,), dtype),
+        stats_err=jnp.zeros((config.max_iterations,), dtype),
     )
 
     s = jax.lax.while_loop(cond, body, state)
@@ -559,6 +579,10 @@ def _solve_impl(
         c_scaling=s.c_scaling,
         stats_k=s.stats_k,
         stats_dinf=s.stats_dinf,
+        stats_d2=s.stats_d2,
+        stats_by=s.stats_by,
+        stats_cx=s.stats_cx,
+        stats_err=s.stats_err,
         fail=s.fail,
     )
 

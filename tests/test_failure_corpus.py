@@ -1,0 +1,130 @@
+"""Failure-mode corpus.
+
+Mirrors /root/reference/conex/test/solver_failures.cc (documented
+breakages) and kkt_solver_options_test.cc (solver-mode behavior on
+rank-deficient systems): these instances must be handled *gracefully* —
+regularized, recovered, or reported unsolved — never crash or return NaN
+as a "solved" answer.
+"""
+
+import numpy as np
+import pytest
+
+from conex_tpu import (
+    KKT_SOLVER_LDLT,
+    KKT_SOLVER_LLT,
+    KKT_SOLVER_QR,
+    Program,
+    SolverConfig,
+)
+
+
+def test_equality_failing_ldlt_regularized():
+    """reference: EqualityConstraintFailingLDLT (solver_failures.cc:17-45):
+    the KKT matrix [1 1 1; 1 1 -1; 1 -1 0] has a zero pivot in fixed
+    order; the clamp (+ refinement) must keep the solve finite."""
+    A = np.array([[1.0, 1.0]])
+    C = np.array([1.0])
+    eq = np.array([[1.0, -1.0]])
+    eq_affine = np.array([0.0])
+    b = A.T @ C
+
+    prog = Program(2)
+    prog.add_linear_constraint(A, C)
+    prog.add_equality_constraint(eq, eq_affine)
+    res = prog.solve(
+        b, SolverConfig(max_iterations=40, iterative_refinement_iterations=2)
+    )
+    # Graceful: finite output; if it claims solved, the answer must be
+    # feasible (y1 = y2, y1 + y2 <= 1, maximize y1 + y2 -> y = (0.5, 0.5)).
+    assert np.all(np.isfinite(res.y))
+    if res.solved:
+        assert abs(res.y[0] - res.y[1]) < 1e-6
+        assert res.y[0] == pytest.approx(0.5, abs=1e-4)
+
+
+def test_bad_initialization_centering_helps():
+    """reference: DoBadInitialization (solver_failures.cc:48-110): an
+    instance with wildly unbalanced optimal slack/dual pairs; initial
+    centering steps stabilize it."""
+    rng = np.random.default_rng(0)
+    num_vars = 5
+    n = num_vars + 10
+    A = rng.uniform(-1, 1, (n, num_vars))
+    optimal_slack = np.ones(n)
+    optimal_dual = np.ones(n)
+    m = n // 2
+    optimal_slack[:m] = 1e-3
+    optimal_dual[m:] = 1e-3
+    y_opt = rng.uniform(-1, 1, num_vars)
+    C = optimal_slack + A @ y_opt
+    b = A.T @ optimal_dual
+
+    prog = Program(num_vars)
+    prog.add_linear_constraint(A, C)
+    res = prog.solve(
+        b,
+        SolverConfig(
+            max_iterations=60,
+            final_centering_steps=10,
+            initial_centering_steps_coldstart=2,
+        ),
+    )
+    assert res.solved
+    assert (C - A @ res.y).min() >= -1e-6
+
+
+def test_qr_succeeds_where_llt_fails():
+    """reference: kkt_solver_options_test.cc:96-144 — a rank-deficient
+    Schur complement (duplicated LP rows with fewer rows than variables)
+    fails LLT but the QR least-squares mode still solves."""
+    rng = np.random.default_rng(1)
+    m = 4
+    row = rng.uniform(-1, 1, m)
+    # Two identical constraint rows: G = (W A)'(W A) has rank <= 2 < m.
+    A = np.vstack([row, row, rng.uniform(-1, 1, m)])
+    c = np.abs(rng.uniform(0.5, 1.5, 3))
+    c[1] = c[0]
+    b = A.T @ np.array([1.0, 1.0, 0.5])
+
+    prog_llt = Program(m)
+    prog_llt.add_linear_constraint(A, c)
+    res_llt = prog_llt.solve(
+        b, SolverConfig(max_iterations=30, kkt_solver=KKT_SOLVER_LLT)
+    )
+    assert not res_llt.solved  # factorization fails
+
+    prog_qr = Program(m)
+    prog_qr.add_linear_constraint(A, c)
+    res_qr = prog_qr.solve(
+        b, SolverConfig(max_iterations=30, kkt_solver=KKT_SOLVER_QR)
+    )
+    assert res_qr.solved
+    assert (c - A @ res_qr.y).min() >= -1e-6
+
+
+def test_slater_violating_lp():
+    """reference: LPFailSlater (solver_failures.cc:208-252): implicit
+    equalities (a row and its negation) violate strict feasibility; the
+    solve must terminate gracefully."""
+    rng = np.random.default_rng(2)
+    m = 4
+    r = rng.uniform(-1, 1, m)
+    yref = rng.uniform(-1, 1, m)
+    A = np.vstack([r, -r, rng.uniform(-1, 1, (4, m))])
+    c = np.concatenate([[r @ yref], [-(r @ yref)], rng.uniform(1, 2, 4) + A[2:] @ yref])
+    x0 = np.abs(rng.uniform(0, 1, 6))
+    b = A.T @ x0
+    prog = Program(m)
+    prog.add_linear_constraint(A, c)
+    res = prog.solve(
+        b,
+        SolverConfig(
+            max_iterations=60, kkt_solver=KKT_SOLVER_LDLT,
+            iterative_refinement_iterations=2,
+        ),
+    )
+    assert np.all(np.isfinite(res.y))
+    if res.solved:
+        # On the implicit equality face.
+        assert abs(r @ res.y - r @ yref) < 1e-4
