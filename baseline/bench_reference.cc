@@ -4,15 +4,65 @@
 #include <chrono>
 #include <cstdio>
 #include <random>
+#include <string>
 #include <vector>
 #include <Eigen/Dense>
 #include "conex/cone_program.h"
 #include "conex/dense_lmi_constraint.h"
+#include "conex/soc_constraint.h"
 
 using Eigen::MatrixXd;
 using Eigen::VectorXd;
 
+// Batched SOCP workload: `batch` independent programs, each one Lorentz
+// cone of order n over m variables, solved sequentially (the reference has
+// no batching) with fixed iteration count.
+static void bench_socp(int n, int m, int batch, int fixed) {
+  std::mt19937 gen(0);
+  std::uniform_real_distribution<double> dist(-1.0, 1.0);
+  double total_sec = 0;
+  long total_iters = 0;
+  for (int bidx = 0; bidx < batch; bidx++) {
+    MatrixXd A(n + 1, m);
+    for (int r = 0; r <= n; r++)
+      for (int c = 0; c < m; c++) A(r, c) = dist(gen);
+    MatrixXd C(n + 1, 1);
+    for (int r = 0; r <= n; r++) C(r, 0) = dist(gen);
+    C(0, 0) = C.bottomRows(n).norm() + 1.0;
+    VectorXd x0(n + 1);
+    for (int r = 0; r <= n; r++) x0(r) = dist(gen);
+    x0(0) = x0.tail(n).norm() + 0.5;
+    VectorXd b = A.transpose() * x0;
+
+    conex::SOCConstraint soc(A, C);
+    conex::Program prog(m);
+    prog.AddConstraint(soc);
+    conex::SolverConfiguration config;
+    config.max_iterations = 30;
+    if (fixed) {
+      config.inv_sqrt_mu_max = 1e15;
+      config.final_centering_steps = 0;
+    }
+    VectorXd y(m);
+    auto t0 = std::chrono::steady_clock::now();
+    conex::Solve(b, prog, config, y.data());
+    auto t1 = std::chrono::steady_clock::now();
+    total_sec += std::chrono::duration<double>(t1 - t0).count();
+    total_iters += prog.Status().num_iterations;
+  }
+  printf("{\"workload\": \"socp\", \"newton_iters\": %ld, \"seconds\": %.6f, \"iters_per_sec\": %.3f}\n",
+         total_iters, total_sec, total_iters / total_sec);
+}
+
 int main(int argc, char** argv) {
+  if (argc > 1 && std::string(argv[1]) == "socp") {
+    int n = argc > 2 ? atoi(argv[2]) : 20;
+    int m = argc > 3 ? atoi(argv[3]) : 10;
+    int batch = argc > 4 ? atoi(argv[4]) : 1000;
+    int fixed = argc > 5 ? atoi(argv[5]) : 1;
+    bench_socp(n, m, batch, fixed);
+    return 0;
+  }
   int n = argc > 1 ? atoi(argv[1]) : 50;
   int m = argc > 2 ? atoi(argv[2]) : 25;
   int batch = argc > 3 ? atoi(argv[3]) : 8;
