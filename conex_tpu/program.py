@@ -286,6 +286,72 @@ class Program:
         self._blocks.append(blk)
         return len(self._blocks) - 1
 
+    # -- incremental updates ----------------------------------------------
+
+    def update_linear_operator(self, i, value, variable, row, col=0,
+                               hyper_complex_dim=0):
+        """Update one entry of constraint i's linear operator in place
+        (functionally: the staged array is rebuilt, structure unchanged so
+        compiled solvers and warmstart state stay valid).
+
+        reference: Program::UpdateLinearOperatorOfConstraint
+        (cone_program.h:147-159) with per-cone semantics of
+        UpdateLinearOperator (linear_constraint.cc:207-216,
+        soc_constraint.cc:314-324, hermitian_psd.cc:248-283).
+        """
+        blk = self._blocks[i]
+        v = float(value)
+        if isinstance(blk, LinearCone):
+            if hyper_complex_dim != 0 or col != 0:
+                raise ValueError("linear constraints are real vector valued")
+            A = blk.A.at[row, variable].set(v)
+            self._blocks[i] = dataclasses.replace(blk, A=A)
+        elif isinstance(blk, SOCCone):
+            if hyper_complex_dim != 0 or col != 0:
+                raise ValueError("SOC constraints are real vector valued")
+            A = blk.A.at[0, row, variable].set(v)
+            self._blocks[i] = dataclasses.replace(blk, A=A)
+        elif isinstance(blk, DenseLMICone):
+            if hyper_complex_dim != 0:
+                raise ValueError("use a Hermitian constraint for d > 1")
+            A = blk.A.at[0, variable, row, col].set(v)
+            A = A.at[0, variable, col, row].set(v)
+            self._blocks[i] = dataclasses.replace(blk, A=A)
+        elif isinstance(blk, HermitianCone):
+            d = hyper_complex_dim
+            if value != 0 and row == col and d > 0:
+                raise ValueError("imaginary diagonal must be zero")
+            A = blk.A.at[0, variable, d, row, col].set(v)
+            A = A.at[0, variable, d, col, row].set(v if d == 0 else -v)
+            self._blocks[i] = dataclasses.replace(blk, A=A)
+        else:
+            raise ValueError("constraint does not support operator updates")
+
+    def update_affine_term(self, i, value, row, col=0, hyper_complex_dim=0):
+        """Update one entry of constraint i's affine term.
+
+        reference: Program::UpdateAffineTermOfConstraint
+        (cone_program.h:161-172).
+        """
+        blk = self._blocks[i]
+        v = float(value)
+        if isinstance(blk, LinearCone):
+            self._blocks[i] = dataclasses.replace(blk, c=blk.c.at[row].set(v))
+        elif isinstance(blk, SOCCone):
+            self._blocks[i] = dataclasses.replace(
+                blk, c=blk.c.at[0, row].set(v)
+            )
+        elif isinstance(blk, DenseLMICone):
+            C = blk.C.at[0, row, col].set(v).at[0, col, row].set(v)
+            self._blocks[i] = dataclasses.replace(blk, C=C)
+        elif isinstance(blk, HermitianCone):
+            d = hyper_complex_dim
+            C = blk.C.at[0, d, row, col].set(v)
+            C = C.at[0, d, col, row].set(v if d == 0 else -v)
+            self._blocks[i] = dataclasses.replace(blk, C=C)
+        else:
+            raise ValueError("constraint does not support affine updates")
+
     # -- solving -----------------------------------------------------------
 
     def _kkt_structure(self):

@@ -192,3 +192,38 @@ def test_mixed_hermitian_program():
                             b[v] += val
     sol = prog.Maximize(b)
     assert sol.status
+
+
+def test_program_incremental_update():
+    """reference: Program::Update*OfConstraint — updating staged data
+    between solves without rebuilding (warmstart state stays valid)."""
+    import numpy as np
+    from conex_tpu import Program, SolverConfig, WARMSTART
+
+    rng = np.random.default_rng(10)
+    A = rng.uniform(-1, 1, (6, 3))
+    c = np.abs(rng.uniform(0.5, 1.5, 6))
+    b = A.T @ np.abs(rng.uniform(0, 1, 6))
+    prog = Program(3)
+    i = prog.add_linear_constraint(A, c)
+    r1 = prog.solve(b, SolverConfig(max_iterations=50))
+    assert r1.solved
+
+    # Perturb one constraint entry and resolve warm.
+    prog.update_affine_term(i, c[0] + 0.5, 0)
+    r2 = prog.solve(
+        b, SolverConfig(max_iterations=50, initialization_mode=WARMSTART)
+    )
+    assert r2.solved
+    c2 = c.copy(); c2[0] += 0.5
+    fresh = Program(3)
+    fresh.add_linear_constraint(A, c2)
+    r3 = fresh.solve(b, SolverConfig(max_iterations=50))
+    np.testing.assert_allclose(r2.y, r3.y, atol=1e-5)
+
+    prog.update_linear_operator(i, 0.0, 0, 0)
+    r4 = prog.solve(b, SolverConfig(max_iterations=50))
+    A2 = A.copy(); A2[0, 0] = 0.0
+    fresh2 = Program(3)
+    fresh2.add_linear_constraint(A2, c2)
+    np.testing.assert_allclose(r4.y, fresh2.solve(b, SolverConfig(max_iterations=50)).y, atol=1e-6)
