@@ -191,3 +191,29 @@ def test_native_matches_python_ordering():
         assert a.separators == b.separators
         assert a.parent == b.parent
         assert a.height == b.height
+
+
+def test_elimination_ordering_utilities():
+    """reference: elimination_ordering.{h,cc} (MCS, chordality, perfect
+    ordering) — vestigial in the reference, provided for completeness."""
+    from conex_tpu.supernodal.elimination import (
+        is_chordal,
+        is_perfectly_ordered,
+        maximum_cardinality_search,
+    )
+
+    # A chordal graph: two triangles sharing an edge.
+    A = np.zeros((4, 4), dtype=bool)
+    for i, j in [(0, 1), (1, 2), (0, 2), (1, 3), (2, 3)]:
+        A[i, j] = A[j, i] = True
+    assert is_chordal(A)
+    order = maximum_cardinality_search(A)
+    assert sorted(order) == [0, 1, 2, 3]
+    assert is_perfectly_ordered(A, order)
+
+    # C4 (4-cycle) is not chordal.
+    C4 = np.zeros((4, 4), dtype=bool)
+    for i, j in [(0, 1), (1, 2), (2, 3), (3, 0)]:
+        C4[i, j] = C4[j, i] = True
+    assert not is_chordal(C4)
+    assert not is_perfectly_ordered(C4, [0, 1, 2, 3])
