@@ -32,6 +32,28 @@ def expm_pade(A: jnp.ndarray) -> jnp.ndarray:
     return jnp.linalg.solve(V - U, V + U)
 
 
+def expm_taylor(A: jnp.ndarray, degree: int = 8, squarings: int = 3):
+    """exp(A) via degree-``degree`` Taylor of exp(A / 2^s) + s squarings.
+
+    Pure matmuls — the TPU-native exponential for the geodesic step, where
+    the argument satisfies ||step * d|| <= sqrt(2) by the step-size rule
+    (cone_program.cc:423-426), giving ~1e-12 accuracy at the defaults.
+    Replaces the Pade solve in the hot path: XLA:TPU's LuDecomposition is
+    F32-only and serial, while this runs at any precision on the MXU.
+    Batched over leading axes.
+    """
+    n = A.shape[-1]
+    eye = jnp.eye(n, dtype=A.dtype)
+    X = A / (2.0 ** squarings)
+    # Horner evaluation of sum X^k / k!.
+    Y = eye + X / degree
+    for k in range(degree - 1, 0, -1):
+        Y = eye + (X @ Y) / k
+    for _ in range(squarings):
+        Y = Y @ Y
+    return Y
+
+
 def _pair_ip(V, U):
     """<V, U> = V[:, 0] . U[:, 1] — the two-column polynomial inner product.
 

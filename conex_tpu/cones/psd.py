@@ -117,7 +117,11 @@ class DenseLMICone:
         n = self.n
         d = cache.WS + jnp.eye(n, dtype=w.dtype)
         d = d * step_size
-        expd = sym.expm_pade(d)
+        # ||d * step|| <= sqrt(2) by the step-size rule, so Taylor+squaring
+        # reaches ~1e-12 — and unlike the reference's Pade solve
+        # (exponential_map_pade.cc:23-32) it is matmul-only (XLA:TPU LU is
+        # F32-only and serial).
+        expd = sym.expm_taylor(d)
         w_new = expd @ w
         return 0.5 * (w_new + jnp.swapaxes(w_new, 1, 2))
 

@@ -252,3 +252,15 @@ def test_sdp_mixed_with_lp_and_soc():
     assert (c_lp - A_lp @ res.y).min() >= -1e-8
     s_soc = c_soc - A_soc @ res.y
     assert s_soc[0] >= np.linalg.norm(s_soc[1:]) - 1e-8
+
+
+def test_expm_taylor_matches_scipy():
+    from scipy.linalg import expm
+
+    rng = np.random.default_rng(10)
+    for n in [2, 6, 12]:
+        # Arguments in the geodesic-step regime: spectral norm <= sqrt(2).
+        A = randsym(n, rng)
+        A = A / np.linalg.norm(A, 2) * 1.4
+        got = np.asarray(sym.expm_taylor(jnp.asarray(A)))
+        np.testing.assert_allclose(got, expm(A), atol=1e-11)
