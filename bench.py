@@ -30,7 +30,7 @@ def main():
     from conex_tpu.cones.psd import DenseLMICone
     from conex_tpu.parallel.sharded import solve_scenarios
 
-    B, n, m = 64, 100, 50
+    B, n, m = 256, 100, 50
     iters = 14  # f32 conditioning caps the mu trajectory at ~1e-7
     dtype = np.float32
 

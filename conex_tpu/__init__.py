@@ -24,9 +24,26 @@ from .config import (
 )
 from .program import Program, Result
 
+
+def __getattr__(name):
+    # Lazy exports that would otherwise import heavier modules at package
+    # import time.
+    if name == "Conex":
+        from .interface import Conex
+
+        return Conex
+    if name == "solve_sedumi":
+        from .sedumi import solve_sedumi
+
+        return solve_sedumi
+    raise AttributeError(name)
+
+
 __all__ = [
     "Program",
     "Result",
+    "Conex",
+    "solve_sedumi",
     "SolverConfig",
     "DEFAULT_CONFIG",
     "COLDSTART",

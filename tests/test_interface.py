@@ -227,3 +227,29 @@ def test_program_incremental_update():
     fresh2 = Program(3)
     fresh2.add_linear_constraint(A2, c2)
     np.testing.assert_allclose(r4.y, fresh2.solve(b, SolverConfig(max_iterations=50)).y, atol=1e-6)
+
+
+def test_argument_validation():
+    """reference: interfaces/test/interface_test.cc — construction and
+    update argument validation."""
+    prog = Conex(3)
+    c1 = prog.NewLinearMatrixInequality(2, 2)
+    c2 = prog.NewLinearMatrixInequality(2, 4)
+    assert c2 == c1 + 1
+    with pytest.raises(ValueError):
+        prog.NewLinearMatrixInequality(2, 3)  # bad hypercomplex dim
+    with pytest.raises(ValueError):
+        prog.NewLinearMatrixInequality(0, 2)  # bad order
+    # Imaginary diagonal must be zero.
+    with pytest.raises(ValueError):
+        prog.UpdateLinearOperator(c1, 1.0, 0, 1, 1, 1)
+    # Hypercomplex dim out of bounds for the constraint.
+    with pytest.raises(ValueError):
+        prog.UpdateLinearOperator(c1, 1.0, 0, 0, 1, 2)
+    # Row out of bounds on a Lorentz cone.
+    c3 = prog.NewLorentzConeConstraint(3)
+    with pytest.raises(ValueError):
+        prog.UpdateLinearOperator(c3, 1.0, 0, 5)
+    # Mismatched quadratic cost size.
+    with pytest.raises(ValueError):
+        prog.AddQuadraticCost(np.eye(2))
