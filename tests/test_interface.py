@@ -253,3 +253,21 @@ def test_argument_validation():
     # Mismatched quadratic cost size.
     with pytest.raises(ValueError):
         prog.AddQuadraticCost(np.eye(2))
+
+
+def test_conex_solve_qp_path():
+    """Conex.Solve() (no b): uses the accumulated linear cost with the
+    forced line-search configuration (reference CONEX_Solve semantics)."""
+    rng = np.random.default_rng(11)
+    nv = 3
+    M = rng.uniform(-1, 1, (nv, nv))
+    Q = M @ M.T + nv * np.eye(nv)
+    b = rng.uniform(-0.1, 0.1, nv)
+    ystar = np.linalg.solve(Q, b)
+    prog = Conex(nv)
+    prog.AddQuadraticCost(Q)
+    prog.AddLinearInequality(np.vstack([np.eye(nv), -np.eye(nv)]), np.full(2 * nv, 10.0))
+    prog.AddLinearCost(-b)  # maximize b'y - 1/2 y'Qy
+    sol = prog.Solve()
+    assert sol.status
+    np.testing.assert_allclose(sol.y, ystar, atol=1e-5)

@@ -82,3 +82,36 @@ def test_sedumi_sdp():
 def test_sedumi_dimension_check():
     with pytest.raises(ValueError, match="cone dimensions"):
         solve_sedumi(np.ones((2, 5)), np.ones(2), np.ones(5), dict(l=3))
+
+
+def test_sedumi_all_cone_types_combined():
+    """f + l + two q blocks + s block in one problem."""
+    rng = np.random.default_rng(3)
+    m = 4
+    nf, nl, q1, q2, ns = 1, 3, 3, 4, 3
+    n = nf + nl + q1 + q2 + ns * ns
+    # Build c = A'y + s* with s* in the cone interior, b = A x* with x* interior.
+    A = rng.uniform(-1, 1, (m, n))
+    xf = rng.uniform(-1, 1, nf)
+    xl = np.abs(rng.uniform(0.2, 1, nl))
+    xq1 = np.concatenate([[1.0], rng.uniform(-0.2, 0.2, q1 - 1)])
+    xq2 = np.concatenate([[1.0], rng.uniform(-0.2, 0.2, q2 - 1)])
+    Xs = rng.uniform(-1, 1, (ns, ns)); Xs = Xs @ Xs.T + 0.2 * np.eye(ns)
+    x0 = np.concatenate([xf, xl, xq1, xq2, Xs.reshape(-1)])
+    b = A @ x0
+    yref = rng.uniform(-0.5, 0.5, m)
+    sl = np.concatenate([
+        np.zeros(nf),
+        np.abs(rng.uniform(0.2, 1, nl)),
+        np.concatenate([[1.2], rng.uniform(-0.2, 0.2, q1 - 1)]),
+        np.concatenate([[1.2], rng.uniform(-0.2, 0.2, q2 - 1)]),
+        (2.0 * np.eye(ns)).reshape(-1),
+    ])
+    c = A.T @ yref + sl
+
+    x, y, info = solve_sedumi(A, b, c, dict(f=nf, l=nl, q=[q1, q2], s=[ns]))
+    assert info["solved"]
+    assert np.linalg.norm(A @ x - b) < 1e-4
+    assert abs(c @ x - b @ y) < 1e-3
+    X = x[nf + nl + q1 + q2:].reshape(ns, ns)
+    assert np.linalg.eigvalsh(0.5 * (X + X.T)).min() >= -1e-6
