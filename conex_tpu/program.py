@@ -28,6 +28,10 @@ from .cones.quadratic import QuadraticCone, epigraph_cone_data
 from .cones.soc import SOCCone
 from .solver.loop import SolveResult, solve_compiled
 
+# Above this many cliques the solve uses the scan-compiled supernodal
+# factorization (supernodal/scan.py) instead of unrolling per clique.
+SCAN_CLIQUE_THRESHOLD = 24
+
 
 def _as_tuple_or_none(variables, num_vars_total, v):
     if variables is None:
@@ -386,9 +390,18 @@ class Program:
             c = c + [self.num_vars + eq.dual_offset + i for i in range(eq.p)]
             cliques.append(c)
             valid_leaf.append(0)
-        return SupernodalStructure.from_cliques(
+        struct = SupernodalStructure.from_cliques(
             cliques, n_kkt, valid_leaf=valid_leaf
         )
+        # Many-clique programs: switch to the scan-compiled factorization
+        # (compile time O(1) in clique count instead of O(K); see
+        # supernodal/scan.py).  The unrolled path stays for few-clique
+        # programs where per-clique shapes beat padding overhead.
+        if len(struct.blocks) > SCAN_CLIQUE_THRESHOLD:
+            from .supernodal.scan import ScanSupernodalStructure
+
+            return ScanSupernodalStructure.from_structure(struct)
+        return struct
 
     def _default_config(self, config: Optional[SolverConfig]) -> SolverConfig:
         if config is None:

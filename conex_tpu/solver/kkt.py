@@ -76,12 +76,23 @@ def _ldlt_clamped(K):
     return M, fail
 
 
+def _supernodal_impl(structure):
+    """Pick the unrolled (per-clique XLA ops) or scan-compiled supernodal
+    implementation from the static structure type."""
+    from ..supernodal.scan import ScanSupernodalStructure
+
+    if isinstance(structure, ScanSupernodalStructure):
+        from ..supernodal import scan as sn
+    else:
+        from ..supernodal import solver as sn
+    return sn
+
+
 def factor(K: jnp.ndarray, mode: int, structure=None) -> KKTFactor:
     """``structure``: optional static SupernodalStructure — factors along
     the clique tree instead of densely (QR mode ignores it)."""
     if structure is not None and mode in (KKT_SOLVER_LLT, KKT_SOLVER_LDLT):
-        from ..supernodal import solver as sn
-
+        sn = _supernodal_impl(structure)
         if mode == KKT_SOLVER_LLT:
             fac, fail = sn.factor_llt(K, structure)
         else:
@@ -129,8 +140,7 @@ def solve(f: KKTFactor, b: jnp.ndarray, mode: int, refinement_steps: int = 0,
 
     def base_solve(rhs):
         if structure is not None and mode in (KKT_SOLVER_LLT, KKT_SOLVER_LDLT):
-            from ..supernodal import solver as sn
-
+            sn = _supernodal_impl(structure)
             if mode == KKT_SOLVER_LLT:
                 return sn.solve_llt(f.factor, structure, rhs)
             return sn.solve_ldlt(f.factor, structure, rhs)

@@ -206,23 +206,24 @@ class SupernodalKKTSolver:
     matrices restricted to the clique-tree pattern."""
 
     def __init__(self, cliques: Sequence[Sequence[int]], n: int,
-                 mode: str = "llt"):
+                 mode: str = "llt", scan: bool = False):
         self.structure = SupernodalStructure.from_cliques(cliques, n)
         self.mode = mode
-        if mode == "llt":
-            self._factor = jax.jit(
-                lambda G: factor_llt(G, self.structure)
-            )
-            self._solve = jax.jit(
-                lambda fac, b: solve_llt(fac, self.structure, b)
+        if scan:
+            from . import scan as impl
+            from .scan import ScanSupernodalStructure
+
+            self.structure = ScanSupernodalStructure.from_structure(
+                self.structure
             )
         else:
-            self._factor = jax.jit(
-                lambda G: factor_ldlt(G, self.structure)
-            )
-            self._solve = jax.jit(
-                lambda fac, b: solve_ldlt(fac, self.structure, b)
-            )
+            import conex_tpu.supernodal.solver as impl
+        if mode == "llt":
+            fct, slv = impl.factor_llt, impl.solve_llt
+        else:
+            fct, slv = impl.factor_ldlt, impl.solve_ldlt
+        self._factor = jax.jit(lambda G: fct(G, self.structure))
+        self._solve = jax.jit(lambda fac, b: slv(fac, self.structure, b))
         self._fac = None
 
     def factor(self, G) -> bool:

@@ -235,3 +235,43 @@ def test_mu_is_nonincreasing():
     k = res.stats_inv_sqrt_mu
     mu = 1.0 / k**2
     assert np.all(np.diff(mu) <= 1e-9)
+
+
+def test_lp_many_cliques_scan_path():
+    """Chain LP with enough cliques to trip the scan-compiled supernodal
+    factorization (program.SCAN_CLIQUE_THRESHOLD) — must agree with the
+    same program solved densely."""
+    from conex_tpu.program import SCAN_CLIQUE_THRESHOLD
+    from conex_tpu.supernodal.scan import ScanSupernodalStructure
+
+    rng = np.random.default_rng(21)
+    n_blocks = SCAN_CLIQUE_THRESHOLD + 6
+    num_vars = n_blocks + 1  # clique i covers vars {i, i+1}
+    rows = 4
+
+    blocks = []
+    Af = np.zeros((rows * n_blocks, num_vars))
+    cf = np.zeros(rows * n_blocks)
+    for i in range(n_blocks):
+        Ai = rng.uniform(-1, 1, (rows, 2))
+        ci = np.abs(rng.uniform(-1, 1, rows)) + 0.1
+        blocks.append((Ai, ci, [i, i + 1]))
+        Af[rows * i:rows * (i + 1), i:i + 2] = Ai
+        cf[rows * i:rows * (i + 1)] = ci
+
+    x0 = np.abs(rng.uniform(-1, 1, rows * n_blocks))
+    x0 *= 0.1 / np.linalg.norm(x0)
+    b = Af.T @ x0
+
+    sparse = Program(num_vars)
+    for Ai, ci, vars_ in blocks:
+        sparse.add_linear_constraint(Ai, ci, variables=vars_)
+    assert isinstance(sparse._kkt_structure(), ScanSupernodalStructure)
+    res_sparse = sparse.solve(b)
+
+    dense = Program(num_vars)
+    dense.add_linear_constraint(Af, cf)
+    res_dense = dense.solve(b)
+
+    assert res_dense.solved and res_sparse.solved
+    np.testing.assert_allclose(res_dense.y, res_sparse.y, atol=1e-6)

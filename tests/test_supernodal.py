@@ -217,3 +217,91 @@ def test_elimination_ordering_utilities():
         C4[i, j] = C4[j, i] = True
     assert not is_chordal(C4)
     assert not is_perfectly_ordered(C4, [0, 1, 2, 3])
+
+
+# -- scan-compiled supernodal path (conex_tpu/supernodal/scan.py) -----------
+
+
+SCAN_PATTERNS = [
+    ([[0, 1, 2], [2, 3, 4], [4, 5, 6]], 7),
+    ([[0, 1], [1, 2], [2, 3], [0, 3]], 4),
+    ([[0, 1, 2, 3, 4]], 5),
+    ([[0, 1, 4], [1, 2, 4], [2, 3, 4], [0, 5]], 6),
+    # heterogeneous supernode/separator sizes exercise the padding
+    ([[0, 1, 2, 3, 7, 8], [3, 4, 7], [4, 5, 6, 7, 8], [8, 9]], 10),
+]
+
+
+@pytest.mark.parametrize("cliques,n", SCAN_PATTERNS)
+def test_scan_llt_matches_dense(cliques, n):
+    from conex_tpu.supernodal import scan as sc
+
+    rng = np.random.default_rng(0)
+    G = random_clique_spd(cliques, n, rng)
+    b = rng.normal(size=n)
+    struct = sc.ScanSupernodalStructure.from_cliques(cliques, n)
+    fac, fail = sc.factor_llt(jnp.asarray(G), struct)
+    assert not bool(fail)
+    x = np.asarray(sc.solve_llt(fac, struct, jnp.asarray(b)))
+    np.testing.assert_allclose(x, np.linalg.solve(G, b), atol=1e-9)
+
+
+@pytest.mark.parametrize("cliques,n", SCAN_PATTERNS)
+def test_scan_ldlt_matches_dense(cliques, n):
+    from conex_tpu.supernodal import scan as sc
+
+    rng = np.random.default_rng(1)
+    G = random_clique_spd(cliques, n, rng)
+    # indefinite but factorable in fixed order within the pattern
+    last = cliques[-1][-1]
+    G[last, last] = -G[last, last]
+    b = rng.normal(size=n)
+    struct = sc.ScanSupernodalStructure.from_cliques(cliques, n)
+    fac, fail = sc.factor_ldlt(jnp.asarray(G), struct)
+    assert not bool(fail)
+    x = np.asarray(sc.solve_ldlt(fac, struct, jnp.asarray(b)))
+    np.testing.assert_allclose(x, np.linalg.solve(G, b), atol=1e-7)
+
+
+def test_scan_matches_unrolled_long_chain():
+    """100-clique chain: scan path must agree with the unrolled path (and
+    the dense oracle) — this is the compile-time-scaling workload."""
+    from conex_tpu.supernodal import scan as sc
+
+    K = 100
+    cliques = [[2 * i, 2 * i + 1, 2 * i + 2] for i in range(K)]
+    n = 2 * K + 1
+    rng = np.random.default_rng(2)
+    G = random_clique_spd(cliques, n, rng)
+    b = rng.normal(size=n)
+
+    struct_u = SupernodalStructure.from_cliques(cliques, n)
+    struct_s = sc.ScanSupernodalStructure.from_structure(struct_u)
+
+    fac_s, fail_s = sc.factor_llt(jnp.asarray(G), struct_s)
+    assert not bool(fail_s)
+    x_s = np.asarray(sc.solve_llt(fac_s, struct_s, jnp.asarray(b)))
+    np.testing.assert_allclose(x_s, np.linalg.solve(G, b), atol=1e-8)
+
+
+def test_scan_llt_fails_on_indefinite():
+    from conex_tpu.supernodal import scan as sc
+
+    n = 4
+    G = -np.eye(n)
+    struct = sc.ScanSupernodalStructure.from_cliques([[0, 1, 2, 3]], n)
+    _, fail = sc.factor_llt(jnp.asarray(G), struct)
+    assert bool(fail)
+
+
+def test_scan_wrapper():
+    rng = np.random.default_rng(3)
+    cliques = [[0, 1, 2], [2, 3, 4], [4, 5, 6], [6, 7, 8], [8, 9, 0]]
+    n = 10
+    G = random_clique_spd(cliques, n, rng)
+    solver = SupernodalKKTSolver(cliques, n, mode="llt", scan=True)
+    assert solver.factor(G)
+    b = rng.normal(size=n)
+    np.testing.assert_allclose(
+        solver.solve(b), np.linalg.solve(G, b), atol=1e-8
+    )
