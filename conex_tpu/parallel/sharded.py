@@ -65,7 +65,7 @@ def solve_scenarios(blocks, eq_blocks, b, init_ws, init_scalars, config,
 
 @functools.lru_cache(maxsize=None)
 def _cone_sharded_solver(config: SolverConfig, mesh: Mesh, axis: str,
-                         total_rank: float):
+                         total_rank: float, kkt_structure=None):
     @jax.jit
     def run(blocks, eq_blocks, b, init_ws, init_scalars):
         # Block *data* shards along each block's leading cone-batch axis;
@@ -79,6 +79,7 @@ def _cone_sharded_solver(config: SolverConfig, mesh: Mesh, axis: str,
             res = _solve_impl(
                 blocks_loc, eqs_loc, b_, ws_loc, scalars_, config,
                 axis_name=axis, rank_override=total_rank,
+                kkt_structure=kkt_structure,
             )
             ws_out = res.ws
             return res._replace(ws=()), ws_out
@@ -97,16 +98,23 @@ def _cone_sharded_solver(config: SolverConfig, mesh: Mesh, axis: str,
 
 
 def solve_cone_sharded(blocks, eq_blocks, b, init_ws, init_scalars,
-                       config: SolverConfig, mesh: Mesh, axis: str = "tp"):
+                       config: SolverConfig, mesh: Mesh, axis: str = "tp",
+                       kkt_structure=None):
     """Solve one program with its cone-block *batch* axes sharded over
     ``axis``.  Every block must be a batched block (leading cone axis
     divisible by the mesh axis size); equality blocks are replicated.
 
     Returns the same SolveResult on every device (fully replicated), with
     block iterates sharded like their blocks.
+
+    ``kkt_structure``: optional static supernodal structure; a
+    DistributedSupernodalStructure additionally shards the KKT clique-tree
+    factorization over ``axis`` (subtree elimination per device + one
+    separator psum; supernodal/distributed.py).
     """
     total_rank = float(sum(blk.rank() for blk in blocks))
-    return _cone_sharded_solver(config, mesh, axis, total_rank)(
+    return _cone_sharded_solver(config, mesh, axis, total_rank,
+                                kkt_structure)(
         blocks, eq_blocks, b, init_ws, init_scalars
     )
 

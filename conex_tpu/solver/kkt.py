@@ -88,10 +88,25 @@ def _supernodal_impl(structure):
     return sn
 
 
-def factor(K: jnp.ndarray, mode: int, structure=None) -> KKTFactor:
+def factor(K: jnp.ndarray, mode: int, structure=None,
+           axis_name=None) -> KKTFactor:
     """``structure``: optional static SupernodalStructure — factors along
-    the clique tree instead of densely (QR mode ignores it)."""
+    the clique tree instead of densely (QR mode ignores it).  A
+    DistributedSupernodalStructure shards the clique tree over the
+    ``axis_name`` mesh axis (requires shard_map context)."""
     if structure is not None and mode in (KKT_SOLVER_LLT, KKT_SOLVER_LDLT):
+        from ..supernodal.distributed import DistributedSupernodalStructure
+
+        if isinstance(structure, DistributedSupernodalStructure):
+            if axis_name is None:
+                raise ValueError(
+                    "DistributedSupernodalStructure requires axis_name"
+                )
+            from ..supernodal import distributed as dn
+
+            fn = dn.factor_llt if mode == KKT_SOLVER_LLT else dn.factor_ldlt
+            fac, fail = fn(K, structure, axis_name)
+            return KKTFactor(matrix=K, factor=fac, fail=fail)
         sn = _supernodal_impl(structure)
         if mode == KKT_SOLVER_LLT:
             fac, fail = sn.factor_llt(K, structure)
@@ -132,7 +147,7 @@ def _solve_qr(K, b):
 
 
 def solve(f: KKTFactor, b: jnp.ndarray, mode: int, refinement_steps: int = 0,
-          structure=None):
+          structure=None, axis_name=None):
     """Solve K x = b with optional iterative refinement.
 
     reference: SolveInPlace + refinement loop, kkt_solver.cc:220-263.
@@ -140,6 +155,17 @@ def solve(f: KKTFactor, b: jnp.ndarray, mode: int, refinement_steps: int = 0,
 
     def base_solve(rhs):
         if structure is not None and mode in (KKT_SOLVER_LLT, KKT_SOLVER_LDLT):
+            from ..supernodal.distributed import (
+                DistributedSupernodalStructure,
+            )
+
+            if isinstance(structure, DistributedSupernodalStructure):
+                from ..supernodal import distributed as dn
+
+                fn = (
+                    dn.solve_llt if mode == KKT_SOLVER_LLT else dn.solve_ldlt
+                )
+                return fn(f.factor, structure, rhs, axis_name)
             sn = _supernodal_impl(structure)
             if mode == KKT_SOLVER_LLT:
                 return sn.solve_llt(f.factor, structure, rhs)

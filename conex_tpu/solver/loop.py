@@ -214,8 +214,9 @@ def _mu_line_search(
     """reference: ComputeMuFromLineSearch, cone_program.cc:118-160."""
     refine = config.iterative_refinement_iterations
     mode = config.kkt_solver
-    y0 = kkt.solve(fac, -2.0 * AW, mode, refine, structure)
-    y1 = kkt.solve(fac, AQc_s + b_s_vec - 2.0 * AW, mode, refine, structure)
+    y0 = kkt.solve(fac, -2.0 * AW, mode, refine, structure, axis_name)
+    y1 = kkt.solve(fac, AQc_s + b_s_vec - 2.0 * AW, mode, refine, structure,
+                   axis_name)
     lower = jnp.asarray(-jnp.inf, dtype)
     upper = jnp.asarray(jnp.inf, dtype)
     fail = jnp.asarray(False)
@@ -247,7 +248,7 @@ def _mu_divergence(
     """reference: ComputeMuFromDivergence, cone_program.cc:173-214."""
     ydiv = kkt.solve(
         fac, AQc_s - b_s_vec, config.kkt_solver,
-        config.iterative_refinement_iterations, structure,
+        config.iterative_refinement_iterations, structure, axis_name,
     )
     p = _slack_stats_all(blocks, ws, ydiv, c_scaling, dtype, axis_name)
     return mu_from_divergence(p, rank_k, config.divergence_upper_bound)
@@ -329,7 +330,7 @@ def _solve_impl(
             b_scaling, c_scaling, k_max = s.b_scaling, s.c_scaling, s.k_max
 
         # --- Factor (cone_program.cc:359-371) ---
-        fac = kkt.factor(G, mode, kkt_structure)
+        fac = kkt.factor(G, mode, kkt_structure, axis_name)
 
         def on_factor_fail(s: LoopState) -> LoopState:
             if warmstart:
@@ -390,7 +391,7 @@ def _solve_impl(
             # --- Newton solve (cone_program.cc:409-413) ---
             y = kkt.solve(
                 fac, k * (b_s_vec + AQc_s) - 2.0 * AW, mode, refine,
-                kkt_structure,
+                kkt_structure, axis_name,
             )
 
             # --- PrepareStep (cone_program.cc:416-426) ---
@@ -545,9 +546,9 @@ def _solve_impl(
         G, AW, AQc, _, _ = assemble(
             blocks, eq_blocks, ws_final, n_kkt, m, dtype, axis_name
         )
-        fac = kkt.factor(G, mode, kkt_structure)
+        fac = kkt.factor(G, mode, kkt_structure, axis_name)
         bres = s.k * b_full * s.b_scaling - AW
-        y2 = kkt.solve(fac, bres, mode, refine, kkt_structure)
+        y2 = kkt.solve(fac, bres, mode, refine, kkt_structure, axis_name)
         skip = s.fail | fac.fail
         ws_recovered = tuple(
             blk.affine_step(w, local_vars(y2, blk.vars_, blk.num_vars), 0.0)
