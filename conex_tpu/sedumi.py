@@ -23,14 +23,45 @@ from .config import SolverConfig
 from .program import Program
 
 
-def solve_sedumi(A, b, c, K: Dict, config: Optional[SolverConfig] = None):
+def solve_sedumi(A, b, c, K: Dict, config: Optional[SolverConfig] = None,
+                 blkdiag: Optional[bool] = None, clean: bool = True):
     """Returns (x, y, info) like the reference conex.m.
 
     info keys: solved, iterations, primal_infeasible, dual_infeasible.
+
+    Preprocessing (reference conex.m:3-35 + ConexPreprocess.m):
+    ``clean`` drops zero equality rows up front (CleanLinear, duals mapped
+    back through T); ``blkdiag`` eliminates free variables and splits
+    sparse PSD cones into block-diagonal sub-cones (default: on when there
+    is more than one s-block, matching ``pars.blkdiag = length(K.s) > 1``).
     """
     A = np.atleast_2d(np.asarray(A, dtype=np.float64))
     b = np.asarray(b, dtype=np.float64).reshape(-1)
     c = np.asarray(c, dtype=np.float64).reshape(-1)
+
+    ss_in = [int(s) for s in (K.get("s", []) or [])]
+    qs_in = [int(q) for q in (K.get("q", []) or [])]
+    if blkdiag is None:
+        blkdiag = len(ss_in) > 1 and not qs_in
+
+    T_clean = None
+    if clean:
+        from .preprocess import clean_linear
+
+        A, b, T_clean = clean_linear(A, b)
+
+    if blkdiag:
+        from .preprocess import SedumiPresolve
+
+        pre = SedumiPresolve.build(A, b, c, K)
+        x_red, y_red, info = solve_sedumi(
+            pre.A, pre.b, pre.c, pre.K, config=config,
+            blkdiag=False, clean=False,
+        )
+        x, y = pre.recover(x_red, y_red)
+        if T_clean is not None:
+            y = T_clean @ y
+        return x, y, info
     m = A.shape[0]  # number of equalities = number of y variables
     if A.shape[1] != c.shape[0]:
         raise ValueError("A columns must match c length")
@@ -112,4 +143,7 @@ def solve_sedumi(A, b, c, K: Dict, config: Optional[SolverConfig] = None):
         primal_infeasible=bool(res.primal_infeasible),
         dual_infeasible=bool(res.dual_infeasible),
     )
-    return x, res.y, info
+    y = np.asarray(res.y)
+    if T_clean is not None:
+        y = T_clean @ y
+    return x, y, info

@@ -115,3 +115,154 @@ def test_sedumi_all_cone_types_combined():
     assert abs(c @ x - b @ y) < 1e-3
     X = x[nf + nl + q1 + q2:].reshape(ns, ns)
     assert np.linalg.eigvalsh(0.5 * (X + X.T)).min() >= -1e-6
+
+
+# -- presolve (reference MATLAB util/: CleanLinear, EliminateFreeVars,
+#    blkdiagPrg/BuildMask/BinaryPsdCompletion) ------------------------------
+
+
+def _sdp_instance(rng, m, n):
+    """Feasible single-block SDP with interior point."""
+    A = rng.uniform(-1, 1, (m, n * n))
+    A = np.stack(
+        [(0.5 * (r.reshape(n, n) + r.reshape(n, n).T)).reshape(-1)
+         for r in A]
+    )
+    X0 = rng.uniform(-1, 1, (n, n))
+    X0 = X0 @ X0.T + 0.5 * np.eye(n)
+    b = A @ X0.reshape(-1)
+    yref = rng.uniform(-1, 1, m)
+    S = rng.uniform(-1, 1, (n, n))
+    S = S @ S.T + 0.5 * np.eye(n)
+    c = A.T @ yref + S.reshape(-1)
+    return A, b, c
+
+
+def test_clean_linear_zero_rows():
+    from conex_tpu.preprocess import clean_linear
+
+    rng = np.random.default_rng(5)
+    A = rng.uniform(-1, 1, (4, 6))
+    b = rng.uniform(-1, 1, 4)
+    A2 = np.insert(A, 2, 0.0, axis=0)
+    b2 = np.insert(b, 2, 0.0)
+    Ar, br, T = clean_linear(A2, b2)
+    np.testing.assert_allclose(Ar, A)
+    np.testing.assert_allclose(br, b)
+    y = rng.uniform(-1, 1, 4)
+    yo = T @ y
+    assert yo[2] == 0 and np.allclose(np.delete(yo, 2), y)
+
+
+def test_clean_linear_qr_dependent_rows():
+    from conex_tpu.preprocess import clean_linear
+
+    rng = np.random.default_rng(6)
+    A = rng.uniform(-1, 1, (3, 6))
+    b = rng.uniform(-1, 1, 3)
+    # duplicate row 1 (scaled) => dependent
+    A2 = np.vstack([A, 2.0 * A[1]])
+    b2 = np.concatenate([b, [2.0 * b[1]]])
+    Ar, br, T = clean_linear(A2, b2, use_qr=True)
+    assert Ar.shape[0] == 3
+    # the kept system spans the same row space
+    assert np.linalg.matrix_rank(np.vstack([Ar, A2])) == 3
+
+
+def test_eliminate_free_vars_matches_direct():
+    """SDP+free solved via free-variable elimination must agree with the
+    direct (equality-constraint) path."""
+    from conex_tpu.preprocess import eliminate_free_vars
+
+    rng = np.random.default_rng(7)
+    m, nfree, n = 4, 2, 4
+    # Build the SDP part around a strictly feasible yref, and give the
+    # free block c_f = Af' yref so yref satisfies its affine condition too.
+    A_s = rng.uniform(-1, 1, (m, n * n))
+    A_s = np.stack(
+        [(0.5 * (r.reshape(n, n) + r.reshape(n, n).T)).reshape(-1)
+         for r in A_s]
+    )
+    X0 = rng.uniform(-1, 1, (n, n))
+    X0 = X0 @ X0.T + 0.5 * np.eye(n)
+    bs = A_s @ X0.reshape(-1)
+    yref = rng.uniform(-1, 1, m)
+    S = rng.uniform(-1, 1, (n, n))
+    S = S @ S.T + 0.5 * np.eye(n)
+    cs = A_s.T @ yref + S.reshape(-1)
+    Af = rng.uniform(-1, 1, (m, nfree))
+    xf0 = rng.uniform(-1, 1, nfree)
+    A = np.concatenate([Af, A_s], axis=1)
+    b = bs + Af @ xf0
+    c = np.concatenate([Af.T @ yref, cs])
+    K = dict(f=nfree, s=[n])
+
+    x1, y1, info1 = solve_sedumi(A, b, c, K, blkdiag=False)
+    assert info1["solved"]
+
+    A_r, b_r, c_r, K_r, B, y0 = eliminate_free_vars(A, b, c, K)
+    x2r, y2r, info2 = solve_sedumi(A_r, b_r, c_r, K_r, blkdiag=False)
+    assert info2["solved"]
+    y2 = y0 + B @ y2r
+    assert abs(b @ y1 - b @ y2) < 1e-5
+    # dual slack on the free block must vanish for both
+    assert np.linalg.norm(c[:nfree] - Af.T @ y2) < 1e-6
+
+
+def test_blkdiag_decomposition_splits_and_matches():
+    """Two diagonal sub-blocks embedded in ONE PSD cone: the presolve must
+    split K.s=[6] into two 3x3 cones and reproduce the un-decomposed
+    solution."""
+    from conex_tpu.preprocess import blkdiag_decompose
+
+    rng = np.random.default_rng(8)
+    n1, n2, m = 3, 3, 4
+    n = n1 + n2
+    A1, b1, c1 = _sdp_instance(rng, m, n1)
+    A2, _, c2 = _sdp_instance(rng, m, n2)
+
+    def embed(vec1, vec2):
+        Mfull = np.zeros((n, n))
+        Mfull[:n1, :n1] = vec1.reshape(n1, n1)
+        Mfull[n1:, n1:] = vec2.reshape(n2, n2)
+        return Mfull.reshape(-1)
+
+    A = np.stack([embed(A1[i], A2[i]) for i in range(m)])
+    b = b1 + A2 @ (lambda X: X.reshape(-1))(
+        np.eye(n2)
+    )  # feasible: X = diag(X1, I)
+    c = embed(c1, c2)
+    K = dict(s=[n])
+
+    red = blkdiag_decompose(A, b, c, K)
+    assert sorted(red.K["s"]) == [3, 3]
+
+    x_ref, y_ref, info_ref = solve_sedumi(A, b, c, K, blkdiag=False)
+    x_red, y_redv, info_red = solve_sedumi(
+        red.A, red.b, red.c, red.K, blkdiag=False
+    )
+    assert info_ref["solved"] and info_red["solved"]
+    x_rec = red.recover_primal(x_red)
+    y_rec = red.recover_dual(y_redv)
+    assert abs(b @ y_ref - b @ y_rec) < 1e-5
+    assert abs(c @ x_ref - c @ x_rec) < 1e-5
+    assert np.linalg.norm(A @ x_rec - b) < 1e-5
+
+
+def test_sedumi_auto_blkdiag_multiblock():
+    """len(K.s) > 1 turns the presolve on by default (reference conex.m
+    pars.blkdiag default); result must match the presolve-off path."""
+    rng = np.random.default_rng(9)
+    m = 4
+    A1, b1, c1 = _sdp_instance(rng, m, 3)
+    A2, b2, c2 = _sdp_instance(rng, m, 2)
+    A = np.concatenate([A1, A2], axis=1)
+    b = b1 + b2
+    c = np.concatenate([c1, c2])
+    K = dict(s=[3, 2])
+
+    x_on, y_on, info_on = solve_sedumi(A, b, c, K)  # auto blkdiag
+    x_off, y_off, info_off = solve_sedumi(A, b, c, K, blkdiag=False)
+    assert info_on["solved"] and info_off["solved"]
+    assert abs(b @ y_on - b @ y_off) < 1e-5
+    assert abs(c @ x_on - c @ x_off) < 1e-5
