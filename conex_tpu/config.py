@@ -55,6 +55,15 @@ class SolverConfig:
     # --- TPU-build additions ---
     # Solve dtype.  None => inherit from problem data.
     dtype: Optional[str] = None
+    # Mu-stall detection: when the mu update makes less than
+    # mu_stall_tolerance relative progress on k = 1/sqrt(mu) for
+    # mu_stall_iterations consecutive non-centering iterations, exit
+    # gracefully (Result.mu_stalled=True, solved=False) instead of
+    # oscillating until max_iterations.  The geodesic IPM — reference
+    # included — oscillates near non-unique optima; the reference has no
+    # detector and burns the full iteration budget.  0 disables.
+    mu_stall_iterations: int = 0
+    mu_stall_tolerance: float = 1e-4
 
     def replace(self, **kw) -> "SolverConfig":
         return dataclasses.replace(self, **kw)

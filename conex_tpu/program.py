@@ -55,6 +55,8 @@ class Result:
     dual_infeasible: bool
     stats_inv_sqrt_mu: np.ndarray
     stats_norminf_d: np.ndarray
+    mu_stalled: bool = False  # TPU addition: mu made no progress (see
+    # SolverConfig.mu_stall_iterations); iterate is returned as-is
     _raw: SolveResult = dataclasses.field(repr=False, default=None)
 
     def report(self) -> str:
@@ -475,6 +477,7 @@ class Program:
             dual_infeasible=bool(raw.dual_infeasible),
             stats_inv_sqrt_mu=np.asarray(raw.stats_k)[: int(raw.num_iterations)],
             stats_norminf_d=np.asarray(raw.stats_dinf)[: int(raw.num_iterations)],
+            mu_stalled=bool(raw.mu_stalled),
             _raw=raw,
         )
 

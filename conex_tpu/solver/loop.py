@@ -43,6 +43,7 @@ class LoopState(NamedTuple):
     fail: jnp.ndarray
     max_iters_reached: jnp.ndarray
     num_iter: jnp.ndarray
+    stall_count: jnp.ndarray  # consecutive low-progress mu updates
     stats_k: jnp.ndarray  # (max_iterations,) sqrt_inv_mu per iteration
     stats_dinf: jnp.ndarray  # (max_iterations,) norm_inf_d per iteration
     stats_d2: jnp.ndarray  # (max_iterations,) ||d||_2
@@ -69,6 +70,7 @@ class SolveResult(NamedTuple):
     stats_cx: jnp.ndarray
     stats_err: jnp.ndarray
     fail: jnp.ndarray
+    mu_stalled: jnp.ndarray
 
 
 # ---------------------------------------------------------------------------
@@ -442,6 +444,21 @@ def _solve_impl(
                 d_inf <= config.final_centering_tolerance
             )
 
+            # --- Mu-stall detection (TPU addition; see SolverConfig) ---
+            if config.mu_stall_iterations > 0:
+                rel = jnp.abs(k - s.k) / jnp.maximum(jnp.abs(s.k), 1e-30)
+                stalled_now = (
+                    update_mu
+                    & ~final_centering
+                    & (i > 0)
+                    & (rel < config.mu_stall_tolerance)
+                )
+                stall_count = jnp.where(stalled_now, s.stall_count + 1, 0)
+                stall_exit = stall_count >= config.mu_stall_iterations
+                stop = stop | stall_exit
+            else:
+                stall_count = s.stall_count
+
             return LoopState(
                 i=i + 1,
                 ws=ws_new,
@@ -460,6 +477,7 @@ def _solve_impl(
                 fail=s.fail,
                 max_iters_reached=jnp.where(stop, False, s.max_iters_reached),
                 num_iter=i + 1,
+                stall_count=stall_count,
                 stats_k=stats_k,
                 stats_dinf=stats_dinf,
                 stats_d2=stats_d2,
@@ -518,6 +536,7 @@ def _solve_impl(
         fail=jnp.asarray(False),
         max_iters_reached=jnp.asarray(True),
         num_iter=jnp.zeros((), jnp.int32),
+        stall_count=jnp.zeros((), jnp.int32),
         stats_k=jnp.zeros((config.max_iterations,), dtype),
         stats_dinf=jnp.zeros((config.max_iterations,), dtype),
         stats_d2=jnp.zeros((config.max_iterations,), dtype),
@@ -533,7 +552,13 @@ def _solve_impl(
     infeasible = mu > config.infeasibility_threshold
     primal_infeasible = infeasible & (s.cx * s.k <= -0.5)
     dual_infeasible = infeasible & (s.by * s.k >= 0.5)
-    solved = (~infeasible) & (~s.fail)
+    if config.mu_stall_iterations > 0:
+        mu_stalled = (s.stall_count >= config.mu_stall_iterations) & (
+            s.k < s.k_max
+        )
+    else:
+        mu_stalled = jnp.asarray(False)
+    solved = (~infeasible) & (~s.fail) & (~mu_stalled)
 
     y_kkt = s.y
     ws_final = s.ws
@@ -585,6 +610,7 @@ def _solve_impl(
         stats_cx=s.stats_cx,
         stats_err=s.stats_err,
         fail=s.fail,
+        mu_stalled=mu_stalled,
     )
 
 

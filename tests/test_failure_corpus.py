@@ -128,3 +128,49 @@ def test_slater_violating_lp():
     if res.solved:
         # On the implicit equality face.
         assert abs(r @ res.y - r @ yref) < 1e-4
+
+
+def test_mu_stall_detector_exits_early():
+    """A scaling-pathological LP pins k at the minimum-mu clamp and (like
+    the reference, which has no detector) would burn the whole iteration
+    budget; with mu_stall_iterations set the solve exits after the stall
+    window and reports mu_stalled (TPU addition, SolverConfig)."""
+    A = np.array([[1.0, 0.0], [-1.0, 0.0], [0.0, 1.0], [0.0, -1.0]])
+    c = np.array([1.0, 0.0, 1e6, 1e6])
+    b = np.array([1.0, 0.0])
+
+    prog = Program(2)
+    prog.add_linear_constraint(A, c)
+    r_off = prog.solve(
+        b, SolverConfig(max_iterations=60, inv_sqrt_mu_max=1e7)
+    )
+    assert not r_off.solved and r_off.num_iterations == 60
+
+    prog2 = Program(2)
+    prog2.add_linear_constraint(A, c)
+    r_on = prog2.solve(
+        b,
+        SolverConfig(
+            max_iterations=60, inv_sqrt_mu_max=1e7, mu_stall_iterations=4
+        ),
+    )
+    assert not r_on.solved
+    assert r_on.mu_stalled
+    assert r_on.num_iterations <= 8
+
+
+def test_mu_stall_detector_quiet_on_wellposed():
+    """The detector must not fire on a healthy solve."""
+    A = np.array([[1.0, 0.0], [0.0, 1.0], [1.0, 1.0]])
+    c = np.array([2.0, 3.0, 4.0])
+    b = np.array([1.0, 2.0])
+    prog = Program(2)
+    prog.add_linear_constraint(A, c)
+    r = prog.solve(
+        b,
+        SolverConfig(
+            max_iterations=50, inv_sqrt_mu_max=1e4, mu_stall_iterations=4
+        ),
+    )
+    assert r.solved and not r.mu_stalled
+    assert abs(b @ r.y - 7.0) < 1e-6
