@@ -5,10 +5,11 @@ Prints ONE JSON line:
 
 Workload: B independent dense SDPs (n x n LMI, m variables), solved fully
 vectorized by the jitted geodesic-IPM loop, exactly 30 Newton iterations
-each (fixed-iteration throughput mode — no early termination on either
-side).  The baseline is the reference conex solver measured on this machine,
-single core, same workload and iteration count
-(baseline/BASELINE_MEASURED.json, rebuilt by baseline/build_and_measure.sh).
+each (SolverConfig(fixed_iterations=True): all early-termination paths
+disabled, every scenario runs the full iteration count).  The baseline is
+the reference conex solver measured on this machine, single core, same
+workload and iteration count (fixed 30; baseline/BASELINE_MEASURED.json,
+rebuilt by baseline/build_and_measure.sh).
 """
 
 import json
@@ -31,7 +32,7 @@ def main():
     from conex_tpu.parallel.sharded import solve_scenarios
 
     B, n, m = 256, 100, 50
-    iters = 14  # f32 conditioning caps the mu trajectory at ~1e-7
+    iters = 30  # matches the baseline's fixed-30-iteration convention
     dtype = np.float32
 
     rng = np.random.default_rng(0)
@@ -49,13 +50,11 @@ def main():
         b_scaling=jnp.ones((B,), dtype),
         c_scaling=jnp.ones((B,), dtype),
     )
-    # Fixed-iteration mode: never final-center, never terminate early
-    # (kkt_error overflows in f32 and must not trigger final centering).
     config = SolverConfig(
         max_iterations=iters,
         final_centering_steps=0,
         inv_sqrt_mu_max=1e15,
-        kkt_error_tolerance=1e45,
+        fixed_iterations=True,
     )
 
     log(f"devices: {jax.devices()}")

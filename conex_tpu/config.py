@@ -55,6 +55,11 @@ class SolverConfig:
     # --- TPU-build additions ---
     # Solve dtype.  None => inherit from problem data.
     dtype: Optional[str] = None
+    # Fixed-iteration throughput mode: run exactly ``max_iterations`` Newton
+    # iterations with no early termination of any kind (no final-centering
+    # exit, no mu-target stop, no stall exit).  Benchmark-only; matches the
+    # baseline convention in baseline/BASELINE_MEASURED.json.
+    fixed_iterations: bool = False
     # Mu-stall detection: when the mu update makes less than
     # mu_stall_tolerance relative progress on k = 1/sqrt(mu) for
     # mu_stall_iterations consecutive non-centering iterations, exit

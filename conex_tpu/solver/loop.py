@@ -334,57 +334,36 @@ def _solve_impl(
         # --- Factor (cone_program.cc:359-371) ---
         fac = kkt.factor(G, mode, kkt_structure, axis_name)
 
-        def on_factor_fail(s: LoopState) -> LoopState:
-            if warmstart:
-                abort = i == 0
-                ws_new = jax.tree.map(
-                    lambda a, b_: jnp.where(abort, a, b_),
-                    _identity_all(blocks, dtype),
-                    s.ws,
-                )
-                return s._replace(
-                    i=i + 1,
-                    ws=ws_new,
-                    warmstart_aborted=abort,
-                    done=~abort,
-                    fail=~abort,
-                    b_scaling=b_scaling,
-                    c_scaling=c_scaling,
-                    k_max=k_max,
-                )
-            return s._replace(
-                i=i + 1, done=jnp.asarray(True), fail=jnp.asarray(True),
-                b_scaling=b_scaling, c_scaling=c_scaling, k_max=k_max,
-            )
+        # The factor-fail / mu-update / centering branching of the reference
+        # (cone_program.cc:360-403) is expressed branch-free: both sides are
+        # computed in one fused graph and merged with selects.  This halves
+        # the traced graph vs nested lax.cond (the untaken side of a cond is
+        # still compiled) and keeps XLA's fusion across the "branches".  On
+        # the rare discarded path the extra work is one KKT solve — noise
+        # next to the per-iteration cone kernels.
 
         def on_factor_ok(s: LoopState) -> LoopState:
             AQc_s = AQc * c_scaling
             b_s_vec = b_full * b_scaling
 
-            # --- Mu update (cone_program.cc:374-403) ---
-            def mu_branch(args):
-                k_prev, centering_steps = args
-                if config.enable_line_search:
-                    temp = _mu_line_search(
-                        blocks, s.ws, fac, config, AW, AQc_s, b_s_vec,
-                        c_scaling, dtype, axis_name, kkt_structure,
-                    )
-                    temp = jnp.where(temp < 0, k_prev, temp)
-                else:
-                    temp = _mu_divergence(
-                        blocks, s.ws, fac, config, AQc_s, b_s_vec,
-                        c_scaling, rank_k, dtype, axis_name, kkt_structure,
-                    )
-                k_new = jnp.where(temp > 0, temp, k_prev * 0.5)
-                return k_new, centering_steps
-
-            def centering_branch(args):
-                k_prev, centering_steps = args
-                return k_prev, centering_steps + jnp.where(initial_centering, 0, 1)
-
-            k, centering_steps = jax.lax.cond(
-                update_mu, mu_branch, centering_branch,
-                (s.k, s.centering_steps),
+            # --- Mu update (cone_program.cc:374-403), branch-free ---
+            if config.enable_line_search:
+                temp = _mu_line_search(
+                    blocks, s.ws, fac, config, AW, AQc_s, b_s_vec,
+                    c_scaling, dtype, axis_name, kkt_structure,
+                )
+                temp = jnp.where(temp < 0, s.k, temp)
+            else:
+                temp = _mu_divergence(
+                    blocks, s.ws, fac, config, AQc_s, b_s_vec,
+                    c_scaling, rank_k, dtype, axis_name, kkt_structure,
+                )
+            k_cand = jnp.where(temp > 0, temp, s.k * 0.5)
+            k = jnp.where(update_mu, k_cand, s.k)
+            centering_steps = jnp.where(
+                update_mu,
+                s.centering_steps,
+                s.centering_steps + jnp.where(initial_centering, 0, 1),
             )
 
             # Clamp (cone_program.cc:405-407).
@@ -443,9 +422,11 @@ def _solve_impl(
             stop = (final_centering | (k >= k_max)) & (
                 d_inf <= config.final_centering_tolerance
             )
+            if config.fixed_iterations:
+                stop = jnp.asarray(False)
 
             # --- Mu-stall detection (TPU addition; see SolverConfig) ---
-            if config.mu_stall_iterations > 0:
+            if config.mu_stall_iterations > 0 and not config.fixed_iterations:
                 rel = jnp.abs(k - s.k) / jnp.maximum(jnp.abs(s.k), 1e-30)
                 stalled_now = (
                     update_mu
@@ -486,16 +467,45 @@ def _solve_impl(
                 stats_err=stats_err,
             )
 
-        return jax.lax.cond(fac.fail, on_factor_fail, on_factor_ok, s)
+        # --- Merge with the factor-fail path (cone_program.cc:360-371),
+        # branch-free.  On failure (coldstart, or warmstart past the first
+        # iteration) the run aborts: done/fail set, everything else kept.
+        # On a first-iteration warmstart failure the warmstart is aborted
+        # and the iterates reset to identity.  NaNs produced downstream of
+        # the failed factor are discarded by the selects.
+        sn = on_factor_ok(s)
+        ffail = fac.fail
+        if warmstart:
+            abort_f = ffail & (i == 0)
+        else:
+            abort_f = jnp.asarray(False)
+        ws_fail = jax.tree.map(
+            lambda ident, old: jnp.where(abort_f, ident, old),
+            _identity_all(blocks, dtype),
+            s.ws,
+        )
+        s_fail = s._replace(
+            i=i + 1,
+            ws=ws_fail,
+            warmstart_aborted=jnp.where(warmstart, abort_f, s.warmstart_aborted),
+            done=jnp.where(abort_f, False, True),
+            fail=jnp.where(abort_f, False, True),
+            b_scaling=b_scaling,
+            c_scaling=c_scaling,
+            k_max=k_max,
+        )
+        return jax.tree.map(
+            lambda a, b_: jnp.where(ffail, a, b_), s_fail, sn
+        )
 
     def body(s: LoopState) -> LoopState:
-        # Under vmap the while_loop body keeps running until *all* batch
-        # elements finish; completed programs must be a strict no-op.
-        return jax.lax.cond(s.done, lambda s_: s_, _body_active, s)
-
-    def _body_active(s: LoopState) -> LoopState:
         # Break-before-assemble: final centering budget exhausted
-        # (cone_program.cc:331-336).
+        # (cone_program.cc:331-336).  Branch-free: the iteration is always
+        # computed; a finished program (done, or centering budget spent)
+        # keeps its state via selects.  Under vmap the while_loop body keeps
+        # running until *all* batch elements finish, so the no-op-when-done
+        # select is load-bearing there; unbatched it costs one discarded
+        # iteration at exit.
         i = s.i
         final_centering = (
             (s.k >= s.k_max)
@@ -505,14 +515,24 @@ def _solve_impl(
         stop_centering = final_centering & (
             s.centering_steps >= config.final_centering_steps
         )
+        if config.fixed_iterations:
+            stop_centering = jnp.asarray(False)
 
-        def mark_done(s):
-            return s._replace(
-                done=jnp.asarray(True),
-                max_iters_reached=i >= config.max_iterations - 1,
-            )
-
-        return jax.lax.cond(stop_centering, mark_done, run_iteration, s)
+        sn = run_iteration(s)
+        s_marked = s._replace(
+            done=jnp.asarray(True),
+            max_iters_reached=i >= config.max_iterations - 1,
+        )
+        keep = s.done | stop_centering
+        merged = jax.tree.map(
+            lambda a, b_: jnp.where(keep, a, b_), s_marked, sn
+        )
+        # A program that was already done must stay exactly as it was
+        # (s_marked flips done/max_iters_reached, which only applies to the
+        # stop_centering exit).
+        return jax.tree.map(
+            lambda a, b_: jnp.where(s.done, a, b_), s, merged
+        )
 
     def cond(s: LoopState):
         return (~s.done) & (s.i < config.max_iterations)

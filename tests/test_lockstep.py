@@ -9,6 +9,7 @@ the trajectories must agree to near machine precision — the strongest
 parity statement available (SURVEY.md §7 hard part #1).
 """
 
+import glob
 import json
 import os
 import subprocess
@@ -18,8 +19,39 @@ import pytest
 
 from conex_tpu import Program, SolverConfig
 
-BIN = os.path.join(os.path.dirname(__file__), "..", "baseline",
-                   "dump_trajectory")
+BASELINE_DIR = os.path.join(os.path.dirname(__file__), "..", "baseline")
+BIN = os.path.join(BASELINE_DIR, "dump_trajectory")
+EIGEN_INC = "/opt/venv/lib/python3.12/site-packages/tensorflow/include"
+REFERENCE = "/root/reference"
+
+
+@pytest.fixture(scope="module", autouse=True)
+def reference_binary():
+    """Build baseline/dump_trajectory from the read-only reference sources
+    if it is not present (it is a gitignored artifact).  A fresh checkout
+    therefore runs the lockstep parity tests instead of silently skipping
+    them; a missing toolchain/reference fails loudly."""
+    if os.path.exists(BIN):
+        return BIN
+    if not os.path.isdir(REFERENCE) or not os.path.isdir(EIGEN_INC):
+        pytest.fail(
+            "baseline/dump_trajectory is missing and the reference sources "
+            f"or Eigen headers are unavailable ({REFERENCE}, {EIGEN_INC})"
+        )
+    cmd = [
+        "g++", "-O2", "-std=c++17", "-DNDEBUG", "-DEIGEN_NO_DEBUG",
+        "-DCONEX_VERBOSE=0", "-include", "cassert", "-include", "array",
+        f"-I{EIGEN_INC}", f"-I{REFERENCE}",
+        os.path.join(BASELINE_DIR, "dump_trajectory.cc"),
+        *sorted(glob.glob(os.path.join(REFERENCE, "conex", "*.cc"))),
+        "-o", BIN,
+    ]
+    proc = subprocess.run(cmd, capture_output=True, text=True)
+    if proc.returncode != 0:
+        pytest.fail(
+            "building the reference lockstep binary failed:\n" + proc.stderr
+        )
+    return BIN
 
 
 def run_reference(A, c, b, config: SolverConfig, tmp_path, kind="lp"):
@@ -51,7 +83,6 @@ def run_reference(A, c, b, config: SolverConfig, tmp_path, kind="lp"):
     return json.loads(out.stdout.strip().splitlines()[-1])
 
 
-@pytest.mark.skipif(not os.path.exists(BIN), reason="reference binary not built")
 @pytest.mark.parametrize("line_search", [False, True])
 def test_lp_trajectory_lockstep(line_search, tmp_path):
     rng = np.random.default_rng(3)
@@ -93,7 +124,6 @@ def test_lp_trajectory_lockstep(line_search, tmp_path):
                                atol=1e-9)
 
 
-@pytest.mark.skipif(not os.path.exists(BIN), reason="reference binary not built")
 def test_sdp_solution_parity(tmp_path):
     """SDP: eigenvalue estimators legitimately differ (reference uses
     truncated Lanczos, conex_tpu the exact squaring estimator), so
