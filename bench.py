@@ -24,6 +24,18 @@ def log(*a):
 
 
 def main():
+    # optional alternate workloads: `python bench.py socp` runs the fused
+    # batched-SOCP benchmark (benchmarks/bench_socp.py, writes
+    # BENCH_SOCP.json); `python bench.py accuracy` runs the f64-on-TPU
+    # accuracy suite (benchmarks/bench_accuracy.py, writes
+    # BENCH_ACCURACY.json).  Default (no argument) is the headline
+    # batched dense-SDP workload below.
+    if len(sys.argv) > 1 and sys.argv[1] in ("socp", "accuracy"):
+        import importlib
+
+        mod = importlib.import_module(f"benchmarks.bench_{sys.argv[1]}")
+        sys.argv = sys.argv[:1] + sys.argv[2:]
+        return mod.main()
     import jax
     import jax.numpy as jnp
 

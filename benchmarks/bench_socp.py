@@ -44,15 +44,19 @@ def main():
         final_centering_steps=0,
         inv_sqrt_mu_max=1e15,
         kkt_error_tolerance=1e45,
+        fixed_iterations=True,
     )
     base = 156760.0
+    results = []
 
     print(f"devices: {jax.devices()}", file=sys.stderr)
     for S in batches:
         A, c, b = make_workload(S, n, m)
 
         def run_fused():
-            out = solve_socp_fused(A, c, b, cfg, block_size=1024)
+            # block_size 2048 is the VMEM sweet spot on v5e (4096+ exceeds
+            # the 16MB scoped-vmem limit; 1024 leaves ~5% on the table)
+            out = solve_socp_fused(A, c, b, cfg, block_size=2048)
             jax.block_until_ready(out.k)
             return out
 
@@ -66,12 +70,14 @@ def main():
             t0 = time.perf_counter()
             run_fused()
             best = min(best, time.perf_counter() - t0)
-        print(json.dumps({
+        rec = {
             "metric": f"fused SOCP newton iters/s (S={S}, n={n}, m={m})",
             "value": round(total / best, 0),
             "unit": "newton_iters/s",
             "vs_baseline": round(total / best / base, 2),
-        }))
+        }
+        results.append(rec)
+        print(json.dumps(rec))
 
         if S <= 10000:
             blk = SOCCone(A=jnp.asarray(A), c=jnp.asarray(c))
@@ -95,17 +101,36 @@ def main():
                 t0 = time.perf_counter()
                 run_gen()
                 bestg = min(bestg, time.perf_counter() - t0)
-            print(json.dumps({
+            rec = {
                 "metric": f"general SOCP newton iters/s (S={S})",
                 "value": round(totg / bestg, 0),
                 "unit": "newton_iters/s",
                 "vs_baseline": round(totg / bestg / base, 2),
-            }))
+            }
+            results.append(rec)
+            print(json.dumps(rec))
             # trajectory agreement
             dk = np.abs(np.asarray(out.stats_k) - np.asarray(r.stats_k))
             rel = dk / np.maximum(np.abs(np.asarray(r.stats_k)), 1e-30)
             print(f"S={S} max rel stats_k diff fused vs general: "
                   f"{rel.max():.2e}", file=sys.stderr)
+
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with open(os.path.join(root, "BENCH_SOCP.json"), "w") as f:
+        json.dump({
+            "description": (
+                "Batched tiny-SOCP throughput on the real TPU chip, fixed "
+                "30 Newton iterations (fixed_iterations=True, no early "
+                "exit on either side).  Baseline: reference conex single "
+                "core, same workload, fixed 30 iters "
+                "(baseline/BASELINE_MEASURED.json socp_n20_m10_batch1000 "
+                "= 156,760 iters/s)."
+            ),
+            "device": str(jax.devices()[0]),
+            "results": results,
+        }, f, indent=2)
+    print(f"wrote {os.path.join(root, 'BENCH_SOCP.json')}", file=sys.stderr)
 
 
 if __name__ == "__main__":

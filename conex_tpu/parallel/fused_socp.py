@@ -45,7 +45,7 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ..config import COLDSTART, KKT_SOLVER_LLT, SolverConfig
+from ..config import KKT_SOLVER_LLT, WARMSTART, SolverConfig
 from ..solver.mu import SlackAgg, mu_from_divergence
 
 LANES = 128
@@ -64,6 +64,7 @@ class FusedSOCPResult(NamedTuple):
     w: jnp.ndarray  # (S, nc, n+1) final cone iterates / duals
     y_kkt: jnp.ndarray  # (S, m) raw final KKT solution
     k: jnp.ndarray  # (S,) final inv_sqrt_mu
+    warmstart_aborted: jnp.ndarray  # (S,) bool
     b_scaling: jnp.ndarray  # (S,)
     c_scaling: jnp.ndarray  # (S,)
     stats_k: jnp.ndarray  # (S, T) sqrt_inv_mu per iteration
@@ -108,6 +109,12 @@ def _eigs(x, ax):
     h, t = _head_tail(x, ax)
     nq = jnp.sqrt(jnp.sum(t * t, axis=ax, keepdims=True))
     return h + nq, h - nq
+
+
+def _identity_like(x, ax):
+    """The spin-factor identity e = (1, 0, ..., 0) shaped like ``x``."""
+    h, t = _head_tail(x, ax)
+    return jnp.concatenate([jnp.ones_like(h), jnp.zeros_like(t)], axis=ax)
 
 
 # ---------------------------------------------------------------------------
@@ -169,7 +176,12 @@ def _matvec(G, x):
 def _make_kernel(config: SolverConfig, nc: int, n1: int, m: int, rank: float):
     T = config.max_iterations
     fc_steps = config.final_centering_steps
-    init_centering = config.initial_centering_steps_coldstart
+    warmstart = config.initialization_mode == WARMSTART
+    init_centering = (
+        config.initial_centering_steps_warmstart
+        if warmstart
+        else config.initial_centering_steps_coldstart
+    )
     refine = config.iterative_refinement_iterations
     k_min_clamp = math.sqrt(1.0 / (1e-15 + config.maximum_mu))
 
@@ -220,10 +232,11 @@ def _make_kernel(config: SolverConfig, nc: int, n1: int, m: int, rank: float):
         )
 
     def kernel(
-        A_ref, c_ref, b_ref, w0_ref, k0_ref,
+        A_ref, c_ref, b_ref, w0_ref, k0_ref, bsc0_ref, csc0_ref,
         # outputs
         y_ref, w_ref, k_ref, kmax_ref, bsc_ref, csc_ref, by_ref, cx_ref,
-        fail_ref, mir_ref, stall_ref, niter_ref, statk_ref, statd_ref,
+        fail_ref, mir_ref, stall_ref, niter_ref, abort_ref,
+        statk_ref, statd_ref,
     ):
         A = A_ref[:]  # (nc, n1, m, Bs, 128)
         cvec = c_ref[:]  # (nc, n1, Bs, 128)
@@ -247,10 +260,11 @@ def _make_kernel(config: SolverConfig, nc: int, n1: int, m: int, rank: float):
         def body(carry):
             (g, w, y, k, k_max, b_sc, c_sc, kkt_err, centering,
              by, cx, d_inf, done_i, fail_i, mir_i, num_iter, stall,
-             stats_k, stats_d) = carry
+             aborted_i, stats_k, stats_d) = carry
             done = done_i != 0
             fail = fail_i != 0
             mir = mir_i != 0
+            aborted = aborted_i != 0
             active = ~done
 
             # --- break-before-assemble (cone_program.cc:331-336) ---
@@ -260,6 +274,8 @@ def _make_kernel(config: SolverConfig, nc: int, n1: int, m: int, rank: float):
                 | vmask(g >= config.max_iterations - fc_steps)
             )
             stop_centering = final_c_pre & (centering >= fc_steps)
+            if config.fixed_iterations:
+                stop_centering = izero != 0
             mark = active & stop_centering
             done = done | mark
             # logic, not select_n: Mosaic cannot select between i1 vectors
@@ -271,18 +287,25 @@ def _make_kernel(config: SolverConfig, nc: int, n1: int, m: int, rank: float):
             # --- run_iteration (cone_program.cc:311-483) ---
             initial_centering = vmask(g < init_centering)
             final_centering = final_c_pre
-            update_mu = vmask(g == 0) | (
-                ~(initial_centering | final_centering)
+            update_mu = (
+                vmask(g == 0)
+                | (~(initial_centering | final_centering))
+                | aborted
             )
 
             wsqrt, G, AW, AQc, w_dot_c, c_dot_Qc = assemble(A, cvec, w)
 
             if config.enable_rescaling:
                 do_rescale = vmask(g < 1)
-                bnorm = jnp.sqrt(jnp.sum(bvec * bvec, axis=0))
-                cnorm = jnp.sqrt(jnp.sum(AQc * AQc, axis=0))
-                b_sc_n = jnp.where(do_rescale, 1.0 / (1.0 + bnorm), b_sc)
-                c_sc_n = jnp.where(do_rescale, 1.0 / (1.0 + cnorm), c_sc)
+                if warmstart:
+                    # warmstart keeps the caller's scalings
+                    # (cone_program.cc:343-357 / loop.py:318-330)
+                    b_sc_n, c_sc_n = b_sc, c_sc
+                else:
+                    bnorm = jnp.sqrt(jnp.sum(bvec * bvec, axis=0))
+                    cnorm = jnp.sqrt(jnp.sum(AQc * AQc, axis=0))
+                    b_sc_n = jnp.where(do_rescale, 1.0 / (1.0 + bnorm), b_sc)
+                    c_sc_n = jnp.where(do_rescale, 1.0 / (1.0 + cnorm), c_sc)
                 mu_target = (1.0 / (k_max * k_max)) * b_sc_n * c_sc_n
                 k_max_n = jnp.where(do_rescale, 1.0 / jnp.sqrt(mu_target), k_max)
             else:
@@ -325,6 +348,19 @@ def _make_kernel(config: SolverConfig, nc: int, n1: int, m: int, rank: float):
             expd = _spectral(step_size[None, None] * d, jnp.exp, 1)
             w_new = _qrep(wsqrt, expd, 1)
 
+            # --- Warmstart abort on large first step (cone_program.cc:
+            # 428-436): reset the iterate to identity, keep everything
+            # else from the iteration; forces a mu update next iteration.
+            if warmstart:
+                ws_abort = vmask(g == 0) & (
+                    norminf >= config.warmstart_abort_threshold
+                )
+                w_new = jnp.where(
+                    ws_abort[None, None], _identity_like(w_new, 1), w_new
+                )
+            else:
+                ws_abort = izero != 0
+
             # --- statistics (cone_program.cc:439-471) ---
             d_2sq = jnp.abs(normsq)
             d_inf_new = jnp.abs(norminf)
@@ -341,8 +377,10 @@ def _make_kernel(config: SolverConfig, nc: int, n1: int, m: int, rank: float):
             stop = (final_centering | (k_new >= k_max_n)) & (
                 d_inf_new <= config.final_centering_tolerance
             )
+            if config.fixed_iterations:
+                stop = izero != 0
 
-            if config.mu_stall_iterations > 0:
+            if config.mu_stall_iterations > 0 and not config.fixed_iterations:
                 rel = jnp.abs(k_new - k) / jnp.maximum(jnp.abs(k), 1e-30)
                 stalled_now = (
                     update_mu
@@ -356,14 +394,24 @@ def _make_kernel(config: SolverConfig, nc: int, n1: int, m: int, rank: float):
                 stall_new = stall
 
             # --- merge: run lanes take the iteration, factor-fail lanes
-            # abort, frozen lanes keep state ---
+            # abort (or, first-iteration warmstart, reset to identity and
+            # continue: cone_program.cc:360-371), frozen lanes keep state ---
             ok = run & ~fac_fail
             ffail = run & fac_fail
+            if warmstart:
+                abort_f = ffail & vmask(g == 0)
+            else:
+                abort_f = ffail & (izero != 0)
+            ffail = ffail & ~abort_f
 
             def sel(mask, new, old):
                 return jnp.where(mask, new, old)
 
-            w = jnp.where(ok[None, None], w_new, w)
+            w = jnp.where(
+                ok[None, None],
+                w_new,
+                jnp.where(abort_f[None, None], _identity_like(w, 1), w),
+            )
             y = jnp.where(ok[None], y_new, y)
             k = sel(ok, k_new, k)
             k_max = sel(run, k_max_n, k_max)
@@ -379,6 +427,9 @@ def _make_kernel(config: SolverConfig, nc: int, n1: int, m: int, rank: float):
             mir = mir & ~(ok & stop)
             num_iter = jnp.where(ok, g + 1, num_iter)
             stall = jnp.where(ok, stall_new, stall)
+            # one-iteration flag (loop.py:453,490): set on the aborting
+            # iteration, cleared by the next completed iteration.
+            aborted = (ok & ws_abort) | abort_f | (~(ok | ffail) & aborted)
             # One-hot row write via float masks (no dynamic-slice stores,
             # and no i1 sublane-broadcasts).
             rowf = (iota_T == g).astype(dtype) * ok.astype(dtype)[None]
@@ -388,7 +439,7 @@ def _make_kernel(config: SolverConfig, nc: int, n1: int, m: int, rank: float):
             return (g + 1, w, y, k, k_max, b_sc, c_sc, kkt_err,
                     centering, by, cx, d_inf, done.astype(jnp.int32),
                     fail.astype(jnp.int32), mir.astype(jnp.int32), num_iter,
-                    stall, stats_k, stats_d)
+                    stall, aborted.astype(jnp.int32), stats_k, stats_d)
 
         def cond(carry):
             g = carry[0]
@@ -403,8 +454,8 @@ def _make_kernel(config: SolverConfig, nc: int, n1: int, m: int, rank: float):
             jnp.zeros((m, Bs, LANES), dtype),  # y
             k0_ref[:],  # k
             jnp.full((Bs, LANES), config.inv_sqrt_mu_max, dtype),  # k_max
-            one,  # b_scaling
-            one,  # c_scaling
+            bsc0_ref[:],  # b_scaling
+            csc0_ref[:],  # c_scaling
             zero,  # kkt_err
             izero,  # centering
             zero - 1.0,  # by
@@ -415,12 +466,13 @@ def _make_kernel(config: SolverConfig, nc: int, n1: int, m: int, rank: float):
             izero + 1,  # max_iters_reached
             izero,  # num_iter
             izero,  # stall
+            izero,  # warmstart_aborted
             jnp.zeros((T, Bs, LANES), dtype),  # stats_k
             jnp.zeros((T, Bs, LANES), dtype),  # stats_dinf
         )
         carry = jax.lax.while_loop(cond, body, carry0)
         (_, w, y, k, k_max, b_sc, c_sc, _, _, by, cx, _, _, fail_i, mir_i,
-         num_iter, stall, stats_k, stats_d) = carry
+         num_iter, stall, aborted_i, stats_k, stats_d) = carry
         fail = fail_i != 0
         mir = mir_i != 0
 
@@ -446,6 +498,7 @@ def _make_kernel(config: SolverConfig, nc: int, n1: int, m: int, rank: float):
         mir_ref[:] = mir.astype(jnp.int32)
         stall_ref[:] = stall
         niter_ref[:] = num_iter
+        abort_ref[:] = aborted_i
         statk_ref[:] = stats_k
         statd_ref[:] = stats_d
 
@@ -464,8 +517,6 @@ def _check_config(config: SolverConfig):
             "(the reference SOC kernel has no line search either, "
             "constraint.h:24-28)"
         )
-    if config.initialization_mode != COLDSTART:
-        raise ValueError("fused SOCP path supports coldstart only")
     if config.kkt_solver != KKT_SOLVER_LLT:
         raise ValueError("fused SOCP path factors with LLT only")
 
@@ -474,7 +525,9 @@ def _check_config(config: SolverConfig):
     jax.jit,
     static_argnames=("config", "block_rows", "interpret"),
 )
-def _solve_padded(A_t, c_t, b_t, w0_t, k0_t, config, block_rows, interpret):
+def _solve_padded(
+    A_t, c_t, b_t, w0_t, k0_t, bsc0_t, csc0_t, config, block_rows, interpret
+):
     """All inputs carry the scenario axis as trailing (S2, 128); the grid
     tiles S2 in blocks of ``block_rows`` sublane rows."""
     nc, n1, m, S2, _ = A_t.shape
@@ -506,14 +559,18 @@ def _solve_padded(A_t, c_t, b_t, w0_t, k0_t, config, block_rows, interpret):
         jax.ShapeDtypeStruct((S2, LANES), jnp.int32),  # max_iters_reached
         jax.ShapeDtypeStruct((S2, LANES), jnp.int32),  # stall
         jax.ShapeDtypeStruct((S2, LANES), jnp.int32),  # num_iter
+        jax.ShapeDtypeStruct((S2, LANES), jnp.int32),  # warmstart_aborted
         jax.ShapeDtypeStruct((T, S2, LANES), dtype),  # stats_k
         jax.ShapeDtypeStruct((T, S2, LANES), dtype),  # stats_dinf
     ]
     out_specs = [
         spec(m), spec(nc, n1), spec(), spec(), spec(), spec(), spec(),
-        spec(), spec(), spec(), spec(), spec(), spec(T), spec(T),
+        spec(), spec(), spec(), spec(), spec(), spec(), spec(T), spec(T),
     ]
-    in_specs = [spec(nc, n1, m), spec(nc, n1), spec(m), spec(nc, n1), spec()]
+    in_specs = [
+        spec(nc, n1, m), spec(nc, n1), spec(m), spec(nc, n1), spec(),
+        spec(), spec(),
+    ]
 
     return pl.pallas_call(
         kernel,
@@ -522,7 +579,7 @@ def _solve_padded(A_t, c_t, b_t, w0_t, k0_t, config, block_rows, interpret):
         out_specs=out_specs,
         out_shape=out_shapes,
         interpret=interpret,
-    )(A_t, c_t, b_t, w0_t, k0_t)
+    )(A_t, c_t, b_t, w0_t, k0_t, bsc0_t, csc0_t)
 
 
 def solve_socp_fused(
@@ -532,6 +589,8 @@ def solve_socp_fused(
     config: SolverConfig,
     init_w=None,
     init_k=None,
+    init_b_scaling=None,
+    init_c_scaling=None,
     block_size: int = 1024,
     interpret: Optional[bool] = None,
 ) -> FusedSOCPResult:
@@ -544,9 +603,14 @@ def solve_socp_fused(
       A: (S, nc, n+1, m) or (S, n+1, m) constraint operators.
       c: (S, nc, n+1) or (S, n+1) affine terms.
       b: (S, m) objectives.
-      config: SolverConfig (divergence mu mode, coldstart, LLT).
-      init_w: optional (S, nc, n+1) initial iterates (defaults to identity).
-      init_k: optional (S,) initial inv_sqrt_mu (defaults to 0).
+      config: SolverConfig (divergence mu mode, LLT; coldstart or warmstart).
+      init_w: optional (S, nc, n+1) initial iterates (defaults to identity);
+        for warmstart pass the previous solve's ``w``.
+      init_k: optional (S,) initial inv_sqrt_mu (defaults to 0); for
+        warmstart pass the previous solve's ``k``.
+      init_b_scaling: optional (S,) rescaling state carried across a
+        warmstart (previous ``b_scaling``; defaults to 1).
+      init_c_scaling: optional (S,) likewise for ``c_scaling``.
       block_size: scenarios per kernel instance (rounded to 128 lanes x
         sublane rows).
       interpret: force Pallas interpreter mode (auto-on for CPU backend).
@@ -571,16 +635,20 @@ def solve_socp_fused(
     S2 = -(-S2_need // block_rows) * block_rows
     S_pad = S2 * LANES
 
-    def pad(x):
+    def pad(x, value=0.0):
         if x.shape[0] == S_pad:
             return x
         widths = [(0, S_pad - S)] + [(0, 0)] * (x.ndim - 1)
-        return jnp.pad(x, widths)
+        return jnp.pad(x, widths, constant_values=value)
 
     if init_w is None:
         init_w = jnp.zeros((S, nc, n1), dtype).at[:, :, 0].set(1.0)
     if init_k is None:
         init_k = jnp.zeros((S,), dtype)
+    if init_b_scaling is None:
+        init_b_scaling = jnp.ones((S,), dtype)
+    if init_c_scaling is None:
+        init_c_scaling = jnp.ones((S,), dtype)
 
     def to_tiles(x):
         """(S_pad, ...) -> (..., S2, 128)"""
@@ -590,12 +658,15 @@ def solve_socp_fused(
     A_t = to_tiles(pad(A))
     c_t = to_tiles(pad(c))
     b_t = to_tiles(pad(b))
-    w0_t = to_tiles(pad(init_w))
-    k0_t = to_tiles(pad(init_k))
+    w0_t = to_tiles(pad(jnp.asarray(init_w, dtype)))
+    k0_t = to_tiles(pad(jnp.asarray(init_k, dtype)))
+    bsc0_t = to_tiles(pad(jnp.asarray(init_b_scaling, dtype), 1.0))
+    csc0_t = to_tiles(pad(jnp.asarray(init_c_scaling, dtype), 1.0))
 
     (y, w, k, k_max, b_sc, c_sc, by, cx, fail_i, mir_i, stall, num_iter,
-     stats_k, stats_d) = _solve_padded(
-        A_t, c_t, b_t, w0_t, k0_t, config, block_rows, bool(interpret)
+     aborted_i, stats_k, stats_d) = _solve_padded(
+        A_t, c_t, b_t, w0_t, k0_t, bsc0_t, csc0_t, config, block_rows,
+        bool(interpret)
     )
 
     def from_tiles(x):
@@ -638,6 +709,7 @@ def solve_socp_fused(
         w=w,
         y_kkt=y,
         k=k,
+        warmstart_aborted=from_tiles(aborted_i).astype(bool),
         b_scaling=b_sc,
         c_scaling=c_sc,
         stats_k=from_tiles(stats_k),

@@ -13,7 +13,7 @@ import pytest
 import jax
 import jax.numpy as jnp
 
-from conex_tpu.config import SolverConfig
+from conex_tpu.config import WARMSTART, SolverConfig
 from conex_tpu.cones.soc import SOCCone
 from conex_tpu.parallel.fused_socp import solve_socp_fused
 from conex_tpu.parallel.sharded import solve_scenarios
@@ -40,14 +40,19 @@ def random_socp(rng, S, nc, n, m, feasible=True, dtype=np.float64):
     return A, c, b
 
 
-def general_path(A, c, b, config):
+def general_path(A, c, b, config, init_w=None, init_k=None,
+                 init_b_scaling=None, init_c_scaling=None):
     S, nc, n1, m = A.shape
     blk = SOCCone(A=jnp.asarray(A), c=jnp.asarray(c))
-    init_ws = (jnp.zeros((S, nc, n1), A.dtype).at[:, :, 0].set(1.0),)
+    if init_w is None:
+        init_w = jnp.zeros((S, nc, n1), A.dtype).at[:, :, 0].set(1.0)
+    init_ws = (jnp.asarray(init_w),)
     scalars = dict(
-        k=jnp.zeros((S,), A.dtype),
-        b_scaling=jnp.ones((S,), A.dtype),
-        c_scaling=jnp.ones((S,), A.dtype),
+        k=jnp.zeros((S,), A.dtype) if init_k is None else jnp.asarray(init_k),
+        b_scaling=(jnp.ones((S,), A.dtype) if init_b_scaling is None
+                   else jnp.asarray(init_b_scaling)),
+        c_scaling=(jnp.ones((S,), A.dtype) if init_c_scaling is None
+                   else jnp.asarray(init_c_scaling)),
     )
     return solve_scenarios((blk,), (), jnp.asarray(b), init_ws, scalars, config)
 
@@ -191,6 +196,79 @@ def test_fused_padding_and_3d_input():
     np.testing.assert_allclose(
         np.asarray(out4.y), np.asarray(ref.y), rtol=1e-7, atol=1e-9
     )
+
+
+def test_fused_warmstart_matches_general():
+    """Warmstart continuation: stop a coldstart solve mid-trajectory, resume
+    both paths from the identical state (w, k, scalings), trajectories must
+    stay pinned (reference warmstart contract, test_warmstart.cc:14-45)."""
+    rng = np.random.default_rng(41)
+    A, c, b = random_socp(rng, S=7, nc=2, n=4, m=3)
+    cfg1 = SolverConfig(
+        max_iterations=6, final_centering_steps=0, fixed_iterations=True
+    )
+    part = solve_socp_fused(A, c, b, cfg1)
+    part_ref = general_path(A, c, b, cfg1)
+    np.testing.assert_allclose(
+        np.asarray(part.stats_k), np.asarray(part_ref.stats_k), rtol=1e-6
+    )
+
+    cfg2 = SolverConfig(max_iterations=30, initialization_mode=WARMSTART)
+    out = solve_socp_fused(
+        A, c, b, cfg2,
+        init_w=part.w, init_k=part.k,
+        init_b_scaling=part.b_scaling, init_c_scaling=part.c_scaling,
+    )
+    ref = general_path(
+        A, c, b, cfg2,
+        init_w=part.w, init_k=part.k,
+        init_b_scaling=part.b_scaling, init_c_scaling=part.c_scaling,
+    )
+    np.testing.assert_array_equal(
+        np.asarray(out.num_iterations), np.asarray(ref.num_iterations)
+    )
+    np.testing.assert_allclose(
+        np.asarray(out.stats_k), np.asarray(ref.stats_k), rtol=1e-5,
+        atol=1e-12,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out.y), np.asarray(ref.y), rtol=1e-5, atol=1e-8
+    )
+    np.testing.assert_array_equal(
+        np.asarray(out.solved), np.asarray(ref.solved)
+    )
+    assert np.all(np.asarray(out.solved))
+    assert not np.any(np.asarray(out.warmstart_aborted))
+
+
+def test_fused_warmstart_abort_matches_general():
+    """A poisoned warmstart state must abort to identity on both paths and
+    still converge (cone_program.cc:428-436)."""
+    rng = np.random.default_rng(43)
+    A, c, b = random_socp(rng, S=5, nc=1, n=4, m=3)
+    S, nc, n1, _ = A.shape
+    # wildly scaled iterate: huge first Newton step => abort
+    w_bad = np.zeros((S, nc, n1), A.dtype)
+    w_bad[..., 0] = 1e6
+    cfg = SolverConfig(
+        max_iterations=40,
+        initialization_mode=WARMSTART,
+        warmstart_abort_threshold=2.0,
+    )
+    k0 = np.full((S,), 1.0, A.dtype)
+    out = solve_socp_fused(A, c, b, cfg, init_w=w_bad, init_k=k0)
+    ref = general_path(A, c, b, cfg, init_w=w_bad, init_k=k0)
+    np.testing.assert_array_equal(
+        np.asarray(out.num_iterations), np.asarray(ref.num_iterations)
+    )
+    np.testing.assert_allclose(
+        np.asarray(out.stats_k), np.asarray(ref.stats_k), rtol=1e-5,
+        atol=1e-12,
+    )
+    np.testing.assert_array_equal(
+        np.asarray(out.solved), np.asarray(ref.solved)
+    )
+    assert np.all(np.asarray(out.solved))
 
 
 def test_fused_config_validation():
