@@ -395,14 +395,17 @@ class Program:
         struct = SupernodalStructure.from_cliques(
             cliques, n_kkt, valid_leaf=valid_leaf
         )
-        # Many-clique programs: switch to the scan-compiled factorization
-        # (compile time O(1) in clique count instead of O(K); see
-        # supernodal/scan.py).  The unrolled path stays for few-clique
-        # programs where per-clique shapes beat padding overhead.
+        # Many-clique programs: switch to the block-compressed scan
+        # factorization — compile time O(1) in clique count AND memory
+        # O(sum of block sizes) instead of O(N^2); assembly scatters each
+        # cone contribution directly into the per-clique blocks (see
+        # supernodal/compressed.py).  The unrolled path stays for
+        # few-clique programs where per-clique shapes beat padding
+        # overhead.
         if len(struct.blocks) > SCAN_CLIQUE_THRESHOLD:
-            from .supernodal.scan import ScanSupernodalStructure
+            from .supernodal.compressed import CompressedSupernodalStructure
 
-            return ScanSupernodalStructure.from_structure(struct)
+            return CompressedSupernodalStructure.from_structure(struct)
         return struct
 
     def _default_config(self, config: Optional[SolverConfig]) -> SolverConfig:

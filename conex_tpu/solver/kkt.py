@@ -93,8 +93,18 @@ def factor(K: jnp.ndarray, mode: int, structure=None,
     """``structure``: optional static SupernodalStructure — factors along
     the clique tree instead of densely (QR mode ignores it).  A
     DistributedSupernodalStructure shards the clique tree over the
-    ``axis_name`` mesh axis (requires shard_map context)."""
+    ``axis_name`` mesh axis (requires shard_map context).  With a
+    CompressedSupernodalStructure, ``K`` is the flat block-compressed
+    buffer (supernodal/compressed.py), not a dense matrix."""
     if structure is not None and mode in (KKT_SOLVER_LLT, KKT_SOLVER_LDLT):
+        from ..supernodal.compressed import CompressedSupernodalStructure
+
+        if isinstance(structure, CompressedSupernodalStructure):
+            from ..supernodal import compressed as cn
+
+            fn = cn.factor_llt if mode == KKT_SOLVER_LLT else cn.factor_ldlt
+            fac, fail = fn(K, structure)
+            return KKTFactor(matrix=K, factor=fac, fail=fail)
         from ..supernodal.distributed import DistributedSupernodalStructure
 
         if isinstance(structure, DistributedSupernodalStructure):
@@ -155,6 +165,13 @@ def solve(f: KKTFactor, b: jnp.ndarray, mode: int, refinement_steps: int = 0,
 
     def base_solve(rhs):
         if structure is not None and mode in (KKT_SOLVER_LLT, KKT_SOLVER_LDLT):
+            from ..supernodal.compressed import CompressedSupernodalStructure
+
+            if isinstance(structure, CompressedSupernodalStructure):
+                from ..supernodal import compressed as cn
+
+                fn = cn.solve_llt if mode == KKT_SOLVER_LLT else cn.solve_ldlt
+                return fn(f.factor, structure, rhs)
             from ..supernodal.distributed import (
                 DistributedSupernodalStructure,
             )
@@ -176,8 +193,18 @@ def solve(f: KKTFactor, b: jnp.ndarray, mode: int, refinement_steps: int = 0,
             return _solve_ldlt(f.factor, rhs)
         return _solve_qr(f.matrix, rhs)
 
+    def residual_matvec(x):
+        if structure is not None:
+            from ..supernodal.compressed import CompressedSupernodalStructure
+
+            if isinstance(structure, CompressedSupernodalStructure):
+                from ..supernodal import compressed as cn
+
+                return cn.matvec(f.matrix, structure, x)
+        return f.matrix @ x
+
     x = base_solve(b)
     for _ in range(refinement_steps):
-        r = b - f.matrix @ x
+        r = b - residual_matvec(x)
         x = x + base_solve(r)
     return x

@@ -98,8 +98,9 @@ def _scatter_vec(x, vars_, xi):
     return x.at[ix].add(xi)
 
 
-def assemble(blocks, eq_blocks, ws, n_kkt: int, m: int, dtype, axis_name=None):
-    """Assemble the dense KKT matrix and residuals from block contributions.
+def assemble(blocks, eq_blocks, ws, n_kkt: int, m: int, dtype, axis_name=None,
+             structure=None):
+    """Assemble the KKT matrix and residuals from block contributions.
 
     reference: Assemble + AssembleSchurComplementResiduals
     (cone_program.cc:339-340, constraint_manager.h:107-124,
@@ -107,15 +108,42 @@ def assemble(blocks, eq_blocks, ws, n_kkt: int, m: int, dtype, axis_name=None):
     per-block contributions; with ``axis_name`` set (constraint-sharded SPMD
     via shard_map) the partial sums ride ICI as a single psum — the additive
     structure called out in SURVEY.md §5.8.
+
+    With a CompressedSupernodalStructure the matrix is returned as the flat
+    block-compressed buffer (supernodal/compressed.py): each contribution
+    scatters directly into the per-clique blocks through a host-precomputed
+    index map — the compressed counterpart of SupernodalAssembler
+    (supernodal_assembler.cc:72-141) — and the dense (N, N) matrix is never
+    built.
     """
-    G = jnp.zeros((n_kkt, n_kkt), dtype=dtype)
+    compressed = None
+    if structure is not None:
+        from ..supernodal.compressed import (
+            CompressedSupernodalStructure,
+            empty_buffer,
+            scatter_contribution,
+        )
+
+        if isinstance(structure, CompressedSupernodalStructure):
+            compressed = structure
+
+    if compressed is not None:
+        G = empty_buffer(compressed, dtype)
+    else:
+        G = jnp.zeros((n_kkt, n_kkt), dtype=dtype)
     AW = jnp.zeros((n_kkt,), dtype=dtype)
     AQc = jnp.zeros((n_kkt,), dtype=dtype)
     w_dot_c = jnp.zeros((), dtype=dtype)
     c_dot_Qc = jnp.zeros((), dtype=dtype)
     for blk, w in zip(blocks, ws):
         out = blk.schur(w)
-        G = _scatter_mat(G, blk.vars_, out.G)
+        if compressed is not None:
+            v = blk.vars_ if blk.vars_ is not None else tuple(
+                range(out.G.shape[0])
+            )
+            G = scatter_contribution(G, compressed, v, v, out.G)
+        else:
+            G = _scatter_mat(G, blk.vars_, out.G)
         AW = _scatter_vec(AW, blk.vars_, out.AW)
         AQc = _scatter_vec(AQc, blk.vars_, out.AQc)
         w_dot_c = w_dot_c + out.w_dot_c
@@ -123,7 +151,12 @@ def assemble(blocks, eq_blocks, ws, n_kkt: int, m: int, dtype, axis_name=None):
     for eq in eq_blocks:
         off = m + eq.dual_offset
         p, v = eq.A.shape
-        if eq.vars_ is None:
+        if compressed is not None:
+            rows = tuple(range(off, off + p))
+            cols = eq.vars_ if eq.vars_ is not None else tuple(range(v))
+            G = scatter_contribution(G, compressed, rows, cols, eq.A)
+            G = scatter_contribution(G, compressed, cols, rows, eq.A.T)
+        elif eq.vars_ is None:
             G = G.at[off:off + p, :v].add(eq.A)
             G = G.at[:v, off:off + p].add(eq.A.T)
         else:
@@ -132,6 +165,10 @@ def assemble(blocks, eq_blocks, ws, n_kkt: int, m: int, dtype, axis_name=None):
             G = G.at[rows[:, None], ix[None, :]].add(eq.A)
             G = G.at[ix[:, None], rows[None, :]].add(eq.A.T)
         AQc = AQc.at[off:off + p].add(eq.b)
+    if compressed is not None:
+        # The dump slot collects padding and mirrored-orientation writes;
+        # it must not accumulate into anything downstream.
+        G = G.at[compressed.dump].set(0.0)
     if axis_name is not None:
         G, AW, AQc, w_dot_c, c_dot_Qc = jax.lax.psum(
             (G, AW, AQc, w_dot_c, c_dot_Qc), axis_name
@@ -291,6 +328,12 @@ def _solve_impl(
     mode = config.kkt_solver
     refine = config.iterative_refinement_iterations
 
+    if kkt_structure is not None and mode not in (
+        KKT_SOLVER_LLT, KKT_SOLVER_LDLT
+    ):
+        # QR needs the densified matrix (reference kkt_solver.cc:174-177).
+        kkt_structure = None
+
     k_min_clamp = jnp.sqrt(1.0 / (1e-15 + config.maximum_mu))
 
     init_centering_steps = (
@@ -311,7 +354,8 @@ def _solve_impl(
 
         # --- Assemble (cone_program.cc:338-341) ---
         G, AW, AQc, w_dot_c, c_dot_Qc = assemble(
-            blocks, eq_blocks, s.ws, n_kkt, m, dtype, axis_name
+            blocks, eq_blocks, s.ws, n_kkt, m, dtype, axis_name,
+            kkt_structure,
         )
 
         # --- First-iteration rescaling (cone_program.cc:343-357) ---
@@ -589,7 +633,8 @@ def _solve_impl(
         # factorization failure (cone_program.cc:360-371), so a failed run
         # must not poison the final iterates with NaNs — keep the loop's W.
         G, AW, AQc, _, _ = assemble(
-            blocks, eq_blocks, ws_final, n_kkt, m, dtype, axis_name
+            blocks, eq_blocks, ws_final, n_kkt, m, dtype, axis_name,
+            kkt_structure,
         )
         fac = kkt.factor(G, mode, kkt_structure, axis_name)
         bres = s.k * b_full * s.b_scaling - AW
