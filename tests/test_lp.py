@@ -238,11 +238,13 @@ def test_mu_is_nonincreasing():
 
 
 def test_lp_many_cliques_scan_path():
-    """Chain LP with enough cliques to trip the scan-compiled supernodal
+    """Chain LP with enough cliques to trip the block-compressed scan
     factorization (program.SCAN_CLIQUE_THRESHOLD) — must agree with the
     same program solved densely."""
     from conex_tpu.program import SCAN_CLIQUE_THRESHOLD
-    from conex_tpu.supernodal.scan import ScanSupernodalStructure
+    from conex_tpu.supernodal.compressed import (
+        CompressedSupernodalStructure,
+    )
 
     rng = np.random.default_rng(21)
     n_blocks = SCAN_CLIQUE_THRESHOLD + 6
@@ -266,7 +268,7 @@ def test_lp_many_cliques_scan_path():
     sparse = Program(num_vars)
     for Ai, ci, vars_ in blocks:
         sparse.add_linear_constraint(Ai, ci, variables=vars_)
-    assert isinstance(sparse._kkt_structure(), ScanSupernodalStructure)
+    assert isinstance(sparse._kkt_structure(), CompressedSupernodalStructure)
     res_sparse = sparse.solve(b)
 
     dense = Program(num_vars)
