@@ -10,6 +10,19 @@ disabled, every scenario runs the full iteration count).  The baseline is
 the reference conex solver measured on this machine, single core, same
 workload and iteration count (fixed 30; baseline/BASELINE_MEASURED.json,
 rebuilt by baseline/build_and_measure.sh).
+
+Validity: the run aborts (exit 1, no metric) unless EVERY scenario
+completes exactly 30 iterations with zero factorization failures.  The f32
+Schur complement loses positive-definiteness once the scaled duality
+measure mu falls below ~2e-6, so the solve caps the scaled k = 1/sqrt(mu)
+at 100 (scaled mu >= 1e-4, SolverConfig.inv_sqrt_mu_cap_scaled); past the
+cap each iteration is a full-work centering step at the capped mu, the
+same per-iteration FLOPs as a mu-decreasing step.  History of this number:
+r01 (19,326 it/s) ran without fixed-iteration mode and exited early when
+scenarios' factorizations failed (~16 iters); r02 (12,264 it/s) spun to
+~25 iterations but every scenario's Cholesky had already failed by ~16 —
+both invalid.  r03 is the first measurement where all B scenarios run 30
+genuine factorable iterations.
 """
 
 import json
@@ -67,6 +80,9 @@ def main():
         final_centering_steps=0,
         inv_sqrt_mu_max=1e15,
         fixed_iterations=True,
+        # f32 precision guard: keep scaled mu >= 1e-4 so every iteration's
+        # Schur complement stays factorable (see module docstring).
+        inv_sqrt_mu_cap_scaled=100.0,
     )
 
     log(f"devices: {jax.devices()}")
@@ -80,7 +96,17 @@ def main():
     res = run()
     log(f"compile+first run: {time.perf_counter() - t0:.2f}s")
     n_iters = np.asarray(res.num_iterations)
+    fails = np.asarray(res.fail)
     log(f"iterations per scenario: {n_iters}")
+    log(f"failures: {int(fails.sum())}/{B}")
+    if fails.any() or not (n_iters == iters).all():
+        log(
+            "INVALID RUN: every scenario must complete exactly "
+            f"{iters} iterations with no factorization failure "
+            f"(got iters min={n_iters.min()} max={n_iters.max()}, "
+            f"fails={int(fails.sum())})"
+        )
+        sys.exit(1)
     total_iters = int(n_iters.sum())
 
     best = float("inf")

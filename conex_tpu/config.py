@@ -60,6 +60,15 @@ class SolverConfig:
     # exit, no mu-target stop, no stall exit).  Benchmark-only; matches the
     # baseline convention in baseline/BASELINE_MEASURED.json.
     fixed_iterations: bool = False
+    # Precision guard: absolute cap on the *scaled* k = 1/sqrt(mu) carried
+    # by the loop (the reference's inv_sqrt_mu_max is a cap on the
+    # *unscaled* target, adjusted by the first-iteration rescaling,
+    # cone_program.cc:343-357).  The scaled mu is what governs the KKT
+    # matrix conditioning, so this is the knob that keeps the Schur
+    # complement factorable at a given arithmetic precision: f32 Cholesky
+    # breaks down near scaled mu ~ 2e-6 on the dense-SDP workload.  inf
+    # disables (default).
+    inv_sqrt_mu_cap_scaled: float = float("inf")
     # Mu-stall detection: when the mu update makes less than
     # mu_stall_tolerance relative progress on k = 1/sqrt(mu) for
     # mu_stall_iterations consecutive non-centering iterations, exit

@@ -28,8 +28,9 @@ from .cones.quadratic import QuadraticCone, epigraph_cone_data
 from .cones.soc import SOCCone
 from .solver.loop import SolveResult, solve_compiled
 
-# Above this many cliques the solve uses the scan-compiled supernodal
-# factorization (supernodal/scan.py) instead of unrolling per clique.
+# Above this many cliques the solve uses the block-compressed supernodal
+# path (supernodal/compressed.py: flat padded per-clique factor buffer,
+# scan-compiled factorization) instead of unrolling per clique.
 SCAN_CLIQUE_THRESHOLD = 24
 
 

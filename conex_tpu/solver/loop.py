@@ -412,6 +412,10 @@ def _solve_impl(
 
             # Clamp (cone_program.cc:405-407).
             k = jnp.clip(k, k_min_clamp, k_max)
+            if config.inv_sqrt_mu_cap_scaled != float("inf"):
+                # Precision guard on the scaled duality measure (see
+                # SolverConfig.inv_sqrt_mu_cap_scaled).
+                k = jnp.minimum(k, config.inv_sqrt_mu_cap_scaled)
 
             # --- Newton solve (cone_program.cc:409-413) ---
             y = kkt.solve(

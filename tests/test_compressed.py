@@ -207,10 +207,8 @@ def test_program_compressed_with_equality():
 
     Af = np.zeros((rows * n_blocks, num_vars))
     cf = np.zeros(rows * n_blocks)
-    progs = []
-    for mode in ("sparse", "dense"):
-        progs.append(Program(num_vars))
-    sparse, dense = progs
+    sparse = Program(num_vars)
+    dense = Program(num_vars)
     for i in range(n_blocks):
         Ai = rng.uniform(-1, 1, (rows, 2))
         ci = np.abs(rng.uniform(-1, 1, rows)) + 0.1

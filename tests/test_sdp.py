@@ -264,3 +264,27 @@ def test_expm_taylor_matches_scipy():
         A = A / np.linalg.norm(A, 2) * 1.4
         got = np.asarray(sym.expm_taylor(jnp.asarray(A)))
         np.testing.assert_allclose(got, expm(A), atol=1e-11)
+
+
+def test_precision_guard_caps_scaled_k():
+    """inv_sqrt_mu_cap_scaled bounds the scaled duality measure: with the
+    cap set and fixed_iterations, every iteration runs (full work) and the
+    final scaled k sits exactly at the cap — the f32 validity guard used by
+    bench.py (the f32 Schur complement loses PSD-ness below scaled mu~2e-6,
+    so the headline bench pins scaled mu >= 1e-4)."""
+    rng = np.random.default_rng(11)
+    A, C, b = feasible_sdp(8, 4, rng)
+    prog = Program(4)
+    prog.add_lmi_constraint(A, C)
+    cap = 50.0
+    config = SolverConfig(
+        max_iterations=20,
+        final_centering_steps=0,
+        inv_sqrt_mu_max=1e15,
+        fixed_iterations=True,
+        inv_sqrt_mu_cap_scaled=cap,
+    )
+    res = prog.solve(b, config)
+    assert int(res.num_iterations) == 20
+    assert not bool(res._raw.fail)
+    assert float(res._raw.k) == pytest.approx(cap)
