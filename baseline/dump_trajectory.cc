@@ -10,11 +10,13 @@
 //   final_centering_tolerance
 //   A (n*m doubles, row major)  c (n doubles)  b (m doubles)
 #include <cstdio>
+#include <cstring>
 #include <vector>
 #include <Eigen/Dense>
 #include "conex/cone_program.h"
 #include "conex/linear_constraint.h"
 #include "conex/dense_lmi_constraint.h"
+#include "conex/soc_constraint.h"
 
 using Eigen::MatrixXd;
 using Eigen::VectorXd;
@@ -32,7 +34,8 @@ int main(int argc, char** argv) {
   if (fscanf(f, "%7s %d %d %d %d %d %lf %lf %lf %lf", kind, &n, &m, &max_iter,
              &line_search, &rescale, &div_ub, &k_max, &dinf_ub, &fct) != 10)
     return 1;
-  bool is_sdp = kind[0] == 's';
+  bool is_sdp = strcmp(kind, "sdp") == 0;
+  bool is_soc = strcmp(kind, "soc") == 0;  // n is the full dim (ref n+1)
   conex::Program prog(m);
   MatrixXd A(n, m);
   MatrixXd C(n, 1);
@@ -62,6 +65,8 @@ int main(int argc, char** argv) {
   conex::LinearConstraint lin{n, &A, &C};
   if (is_sdp) {
     prog.AddConstraint(conex::DenseLMIConstraint(n, As, Cs));
+  } else if (is_soc) {
+    prog.AddConstraint(conex::SOCConstraint(A, C));
   } else {
     prog.AddConstraint(lin);
   }

@@ -124,6 +124,33 @@ def real_representation(x):
     return R.reshape(x.shape[:-3] + (d * n, d * n))
 
 
+def eigenvalues(x) -> jnp.ndarray:
+    """Exact eigenvalues of a Hermitian algebra element (single, unbatched).
+
+    reference: MinimalPolynomial + Roots (jordan_matrix_algebra.cc:36-58):
+    the coefficients of the degree-n annihilating polynomial of x under the
+    Jordan product are found by least squares on the vectorized Jordan
+    powers, and its roots are the eigenvalues (companion-matrix
+    eigenvalues).  Works for every algebra including octonions (the Jordan
+    algebra is power associative).  Host-side test oracle — adversarial
+    ground truth for the fast estimators; not used in the hot path.
+    """
+    import numpy as np_
+
+    x = np_.asarray(x)
+    d, n = x.shape[-3], x.shape[-1]
+    cols = []
+    xpow = np_.asarray(identity(d, n, x.dtype))
+    for _ in range(n):
+        cols.append(xpow.reshape(-1))
+        xpow = np_.asarray(jordan_multiply(jnp.asarray(xpow), jnp.asarray(x)))
+    M = np_.stack(cols, axis=1)  # (d n^2, n)
+    coef, *_ = np_.linalg.lstsq(M, -xpow.reshape(-1), rcond=None)
+    # Monic polynomial t^n + coef[n-1] t^{n-1} + ... + coef[0].
+    roots = np_.roots(np_.concatenate([[1.0], coef[::-1]]))
+    return jnp.sort(jnp.asarray(np_.real(roots)))
+
+
 def exponential_map(x):
     """exp(x) via degree-2 Taylor of exp(x/4) + two squarings.
 

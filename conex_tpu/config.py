@@ -78,6 +78,20 @@ class SolverConfig:
     # detector and burns the full iteration budget.  0 disables.
     mu_stall_iterations: int = 0
     mu_stall_tolerance: float = 1e-4
+    # Numerical-floor latch: in divergence mode, a mu update that *collapses*
+    # k (k_new < mu_floor_drop_ratio * k_old) while already within
+    # mu_floor_kmax_fraction of the target k_max means the slack-eigenvalue
+    # arithmetic has hit the f64 floor — further "progress" is noise.  The
+    # reference escapes this regime only when its own roundoff happens to
+    # overshoot the k_max clamp, which latches final centering and the
+    # centering-budget exit (cone_program.cc:331-336, 405-407); when its
+    # update undershoots instead, it burns the full iteration budget
+    # unsolved on the same instance.  The latch reproduces the clamp-latch
+    # semantics deterministically: hold k at its high-water mark, enter
+    # final centering, exit solved after the centering budget.  Set
+    # mu_floor_drop_ratio = 0 to disable.
+    mu_floor_drop_ratio: float = 0.5
+    mu_floor_kmax_fraction: float = 0.1
 
     def replace(self, **kw) -> "SolverConfig":
         return dataclasses.replace(self, **kw)

@@ -167,6 +167,8 @@ class Conex:
         self._prog: Optional[Program] = None
         self._result = None
         self._linear_cost = None
+        self._built_n = -1
+        self._block_map: Dict[int, int] = {}
 
     def SetNumberOfVariables(self, m):
         self.m = m
@@ -292,17 +294,41 @@ class Conex:
 
     def UpdateLinearOperator(self, constraint, value, variable, row, col=0,
                              hyper_complex_dim=0):
+        """Update one operator entry.  Cheap when a Program is already
+        built: value-only updates route to the structure-preserving
+        Program.update_linear_operator, so compiled solvers and warmstart
+        state stay valid and the next Maximize re-solves with zero
+        recompilation (reference contract: in-place updates with solver
+        reuse, cone_program.h:147-172, interfaces/conex.cc).  Updates that
+        grow the constraint (a new variable index) invalidate the build."""
         kind, (sc, _, _) = self._direct[constraint]
         assert kind == "staged"
+        grows = sc.A is None or variable >= sc.num_vars
         sc.update_linear_operator(value, variable, row, col, hyper_complex_dim)
-        self._prog = None  # structure/data changed: rebuild
+        if (
+            not grows
+            and self._prog is not None
+            and constraint in self._block_map
+        ):
+            self._prog.update_linear_operator(
+                self._block_map[constraint], value, variable, row, col,
+                hyper_complex_dim,
+            )
+        else:
+            self._prog = None  # structure changed: rebuild on next solve
 
     def UpdateAffineTerm(self, constraint, value, row, col=0,
                          hyper_complex_dim=0):
         kind, (sc, _, _) = self._direct[constraint]
         assert kind == "staged"
         sc.update_affine_term(value, row, col, hyper_complex_dim)
-        self._prog = None
+        if self._prog is not None and constraint in self._block_map:
+            self._prog.update_affine_term(
+                self._block_map[constraint], value, row, col,
+                hyper_complex_dim,
+            )
+        else:
+            self._prog = None
 
     # -- solving ----------------------------------------------------------
 
@@ -322,6 +348,7 @@ class Conex:
         if self.m < 0:
             raise ValueError("number of variables unknown")
         prog = Program(self.m)
+        self._built_n = len(self._direct)
         self._block_map: Dict[int, int] = {}
         for ci, (kind, (a1, a2, vars_)) in enumerate(self._direct):
             if kind == "staged":
@@ -369,7 +396,11 @@ class Conex:
             raise ValueError(
                 "Cost vector dimension does not match number of variables."
             )
-        self._prog = self._build()
+        # Reuse the built Program (and its compiled solver + warmstart
+        # state) when only values changed since the last build; rebuild
+        # only on structural change (new constraints, grown operators).
+        if self._prog is None or self._built_n != len(self._direct):
+            self._prog = self._build()
         if self._prog._has_quadratic_cost:
             config = config.replace(
                 enable_line_search=True, enable_rescaling=False

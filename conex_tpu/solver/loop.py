@@ -44,6 +44,7 @@ class LoopState(NamedTuple):
     max_iters_reached: jnp.ndarray
     num_iter: jnp.ndarray
     stall_count: jnp.ndarray  # consecutive low-progress mu updates
+    fc_latch: jnp.ndarray  # numerical-floor final-centering latch
     stats_k: jnp.ndarray  # (max_iterations,) sqrt_inv_mu per iteration
     stats_dinf: jnp.ndarray  # (max_iterations,) norm_inf_d per iteration
     stats_d2: jnp.ndarray  # (max_iterations,) ||d||_2
@@ -346,7 +347,8 @@ def _solve_impl(
         i = s.i
         initial_centering = i < init_centering_steps
         final_centering = (
-            (s.k >= s.k_max)
+            s.fc_latch
+            | (s.k >= s.k_max)
             | (s.kkt_error > config.kkt_error_tolerance)
             | (i >= config.max_iterations - config.final_centering_steps)
         )
@@ -403,6 +405,20 @@ def _solve_impl(
                     c_scaling, rank_k, dtype, axis_name, kkt_structure,
                 )
             k_cand = jnp.where(temp > 0, temp, s.k * 0.5)
+
+            # --- Numerical-floor latch (see SolverConfig) ---
+            if config.mu_floor_drop_ratio > 0 and not config.fixed_iterations:
+                floor = (
+                    update_mu
+                    & ~final_centering
+                    & (k_cand < config.mu_floor_drop_ratio * s.k)
+                    & (s.k >= config.mu_floor_kmax_fraction * k_max)
+                )
+                k_cand = jnp.where(floor, s.k, k_cand)
+                fc_latch = s.fc_latch | floor
+            else:
+                fc_latch = s.fc_latch
+
             k = jnp.where(update_mu, k_cand, s.k)
             centering_steps = jnp.where(
                 update_mu,
@@ -507,6 +523,7 @@ def _solve_impl(
                 max_iters_reached=jnp.where(stop, False, s.max_iters_reached),
                 num_iter=i + 1,
                 stall_count=stall_count,
+                fc_latch=fc_latch,
                 stats_k=stats_k,
                 stats_dinf=stats_dinf,
                 stats_d2=stats_d2,
@@ -556,7 +573,8 @@ def _solve_impl(
         # iteration at exit.
         i = s.i
         final_centering = (
-            (s.k >= s.k_max)
+            s.fc_latch
+            | (s.k >= s.k_max)
             | (s.kkt_error > config.kkt_error_tolerance)
             | (i >= config.max_iterations - config.final_centering_steps)
         )
@@ -605,6 +623,7 @@ def _solve_impl(
         max_iters_reached=jnp.asarray(True),
         num_iter=jnp.zeros((), jnp.int32),
         stall_count=jnp.zeros((), jnp.int32),
+        fc_latch=jnp.asarray(False),
         stats_k=jnp.zeros((config.max_iterations,), dtype),
         stats_dinf=jnp.zeros((config.max_iterations,), dtype),
         stats_d2=jnp.zeros((config.max_iterations,), dtype),

