@@ -105,6 +105,20 @@ def factor(K: jnp.ndarray, mode: int, structure=None,
             fn = cn.factor_llt if mode == KKT_SOLVER_LLT else cn.factor_ldlt
             fac, fail = fn(K, structure)
             return KKTFactor(matrix=K, factor=fac, fail=fail)
+        from ..supernodal.dist_compressed import (
+            DistributedCompressedStructure,
+        )
+
+        if isinstance(structure, DistributedCompressedStructure):
+            if axis_name is None:
+                raise ValueError(
+                    "DistributedCompressedStructure requires axis_name"
+                )
+            from ..supernodal import dist_compressed as dc
+
+            fn = dc.factor_llt if mode == KKT_SOLVER_LLT else dc.factor_ldlt
+            fac, fail = fn(K, structure, axis_name)
+            return KKTFactor(matrix=K, factor=fac, fail=fail)
         from ..supernodal.distributed import DistributedSupernodalStructure
 
         if isinstance(structure, DistributedSupernodalStructure):
@@ -172,6 +186,17 @@ def solve(f: KKTFactor, b: jnp.ndarray, mode: int, refinement_steps: int = 0,
 
                 fn = cn.solve_llt if mode == KKT_SOLVER_LLT else cn.solve_ldlt
                 return fn(f.factor, structure, rhs)
+            from ..supernodal.dist_compressed import (
+                DistributedCompressedStructure,
+            )
+
+            if isinstance(structure, DistributedCompressedStructure):
+                from ..supernodal import dist_compressed as dc
+
+                fn = (
+                    dc.solve_llt if mode == KKT_SOLVER_LLT else dc.solve_ldlt
+                )
+                return fn(f.factor, structure, rhs, axis_name)
             from ..supernodal.distributed import (
                 DistributedSupernodalStructure,
             )
@@ -196,11 +221,18 @@ def solve(f: KKTFactor, b: jnp.ndarray, mode: int, refinement_steps: int = 0,
     def residual_matvec(x):
         if structure is not None:
             from ..supernodal.compressed import CompressedSupernodalStructure
+            from ..supernodal.dist_compressed import (
+                DistributedCompressedStructure,
+            )
 
             if isinstance(structure, CompressedSupernodalStructure):
                 from ..supernodal import compressed as cn
 
                 return cn.matvec(f.matrix, structure, x)
+            if isinstance(structure, DistributedCompressedStructure):
+                from ..supernodal import compressed as cn
+
+                return cn.matvec(f.matrix, structure.base, x)
         return f.matrix @ x
 
     x = base_solve(b)

@@ -124,9 +124,16 @@ def assemble(blocks, eq_blocks, ws, n_kkt: int, m: int, dtype, axis_name=None,
             empty_buffer,
             scatter_contribution,
         )
+        from ..supernodal.dist_compressed import (
+            DistributedCompressedStructure,
+        )
 
         if isinstance(structure, CompressedSupernodalStructure):
             compressed = structure
+        elif isinstance(structure, DistributedCompressedStructure):
+            # Same compressed buffer layout; the psum below combines the
+            # per-device cone contributions (O(buffer), never dense (N,N)).
+            compressed = structure.base
 
     if compressed is not None:
         G = empty_buffer(compressed, dtype)
