@@ -75,10 +75,77 @@ def run(n_devices: int, cones_per_device: int = 4, n: int = 32, m: int = 24,
     return best
 
 
+def run_distributed_kkt(n_devices: int, chains_per_device: int = 1,
+                        cliques_per_chain: int = 8, clique_dim: int = 64):
+    """Subtree-parallel compressed-distributed KKT factor+solve: a star of
+    chains (independent chains meeting at a shared hub variable) with one
+    chain per device — the topology subtree partitioning is built for.  A
+    single chain is the worst case (its elimination tree is a path, so
+    elimination is inherently sequential and the partitioner routes it to
+    the replicated root region; parallelizing a path needs a
+    nested-dissection reordering, out of scope here)."""
+    import jax.numpy as jnp
+    from jax.sharding import PartitionSpec as P
+    from conex_tpu.supernodal.compressed import compress_dense
+    from conex_tpu.supernodal.dist_compressed import (
+        DistributedCompressedStructure,
+        factor_llt,
+        solve_llt,
+    )
+
+    step = clique_dim // 2
+    n_chains = chains_per_device * n_devices
+    cliques = []
+    hub = 0
+    v = 1
+    for _ in range(n_chains):
+        prev = [hub]
+        for _ in range(cliques_per_chain):
+            body = list(range(v, v + clique_dim - len(prev)))
+            cliques.append(prev + body)
+            prev = body[-step:]
+            v += clique_dim - 1 if len(prev) == step else len(body)
+            v = body[-1] + 1
+        v = body[-1] + 1
+    n = v
+    rng = np.random.default_rng(0)
+    G = np.eye(n) * (clique_dim * 2.0)
+    for c in cliques:
+        k = len(c)
+        M = rng.normal(size=(k, k))
+        idx = np.asarray(c)
+        G[idx[:, None], idx[None, :]] += (M @ M.T) / k
+    b = rng.normal(size=n)
+
+    dcs = DistributedCompressedStructure.from_cliques(cliques, n, n_devices)
+    buf = compress_dense(jnp.asarray(G), dcs.base)
+    mesh = Mesh(np.asarray(jax.devices()[:n_devices]), ("tp",))
+
+    def inner(buf, b):
+        fac, fail = factor_llt(buf, dcs, "tp")
+        return solve_llt(fac, dcs, b, "tp"), fail
+
+    fn = jax.jit(
+        jax.shard_map(
+            inner, mesh=mesh, in_specs=(P(), P()), out_specs=(P(), P()),
+            check_vma=False,
+        )
+    )
+    x, fail = jax.block_until_ready(fn(buf, jnp.asarray(b)))
+    assert not bool(np.asarray(fail).ravel()[0])
+    best = float("inf")
+    for _ in range(5):
+        t0 = time.perf_counter()
+        jax.block_until_ready(fn(buf, jnp.asarray(b)))
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
 def main():
+    import json
+
     devices = len(jax.devices())
     counts = [d for d in (1, 2, 4, 8) if d <= devices]
-    t1 = None
     print(
         f"devices available: {devices}; per-device cones fixed (weak scaling)"
     )
@@ -91,15 +158,57 @@ def main():
         "On a real slice each device is its own chip and wall time stays "
         "flat instead."
     )
+    results = {"assembly": [], "distributed_kkt": []}
+    t1 = None
     for d in counts:
         t = run(d)
         if t1 is None:
             t1 = t
         overhead = t / (d * t1)
+        results["assembly"].append(
+            dict(devices=d, ms_per_solve=round(t * 1e3, 2),
+                 work_normalized_overhead=round(overhead, 3))
+        )
         print(
-            f"devices={d}: {t * 1000:8.1f} ms/solve   "
+            f"assembly        devices={d}: {t * 1000:8.1f} ms/solve   "
             f"work-normalized overhead={overhead:5.2f}x"
         )
+    t1 = None
+    for d in counts:
+        t = run_distributed_kkt(d)
+        if t1 is None:
+            t1 = t
+        overhead = t / (d * t1)
+        results["distributed_kkt"].append(
+            dict(devices=d, ms_per_factor_solve=round(t * 1e3, 2),
+                 work_normalized_overhead=round(overhead, 3))
+        )
+        print(
+            f"distributed-KKT devices={d}: {t * 1000:8.1f} ms/factor+solve "
+            f"work-normalized overhead={overhead:5.2f}x"
+        )
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    payload = dict(
+        description=(
+            "Weak scaling on the 8-device virtual CPU mesh: per-device work "
+            "fixed, device count scaled.  Virtual devices share this host's "
+            "cores, so wall time growing ~linearly IS perfect scaling here; "
+            "the reported work-normalized overhead time(d)/(d*time(1)) "
+            "isolates the cost added by sharding + collectives (<= 1.0 "
+            "means the sharded program costs no more than d independent "
+            "single-device programs).  ICI behavior is unmeasurable on this "
+            "machine (one physical chip); the collective schedule is the "
+            "same program XLA partitions for real meshes.  assembly = full "
+            "cone-sharded dense-SDP solve (psum-reduced Schur assembly "
+            "dominates); distributed_kkt = compressed-distributed "
+            "supernodal factor+solve on a clique chain."
+        ),
+        results=results,
+    )
+    with open(os.path.join(root, "WEAK_SCALING.json"), "w") as f:
+        json.dump(payload, f, indent=2)
+    print(f"wrote {os.path.join(root, 'WEAK_SCALING.json')}")
 
 
 if __name__ == "__main__":

@@ -12,20 +12,25 @@ Composes the two round-2 designs that VERDICT r2 #5 found disjoint:
   independently and couple only through the root separator set
   (SURVEY.md §5.7/§7 phase 6c).
 
-Here the global elimination order is laid out subtree-contiguous
-(device 0's cliques, device 1's, ..., root cliques last — a valid
-elimination order because the running-intersection property routes every
-local clique's separator updates to later cliques of the SAME subtree or to
-the root region).  Every device holds the same compressed buffer layout;
-assembly scatters cone contributions into it through the host-precomputed
-flat maps and one psum combines them (O(buffer) traffic, not O(N^2)).
-Factorization then runs subtree-parallel: each device scans ONLY its own
-cliques (a dynamically-selected, padded slice of the global clique list),
-one psum of the buffer delta combines the root-region Schur contributions,
-and the (small) root system factors replicated via the same compressed scan.
-Solves mirror it: local forward substitution, one psum of the root-residual
-delta, replicated root solve, local backward substitution, one psum of the
-owner-masked solution.
+The global elimination order is laid out subtree-contiguous (device 0's
+cliques, device 1's, ..., root cliques last — a valid elimination order
+because the running-intersection property routes every local clique's
+separator updates to later cliques of the SAME subtree or to the root
+region).  Assembly scatters cone contributions into the global compressed
+buffer through the host-precomputed flat maps and one psum combines them
+(O(buffer) traffic, not O(N^2)).
+
+Factorization carries only a LOCAL buffer per device: the device's own
+clique blocks plus a copy of the root-region blocks, gathered from the
+global buffer in one shot.  (Carrying the full global buffer through the
+elimination scan makes the per-step carry traffic O(global) and destroys
+weak scaling — each scan step rewrites the carry.)  Each device scans its
+own cliques with update targets remapped into local coordinates, one psum
+of the root-region delta combines the cross-device Schur contributions,
+and the (small) root system factors replicated by the same scan in
+root-local coordinates.  Solves mirror it on O(n) vectors: local forward
+substitution, one root-residual psum, replicated root solve, local
+backward substitution, owner-masked psum.
 
 Pivot semantics for LDLT match the reference RLDLT clamp (RLDLT.h:381-393).
 """
@@ -43,7 +48,6 @@ import jax.numpy as jnp
 from .compressed import (
     CompressedSupernodalStructure,
     _padded_indices,
-    _read_blocks,
     _update_map,
     _ldlt_clamped_block,
 )
@@ -95,56 +99,180 @@ class DistributedCompressedStructure(NamedTuple):
 
 @functools.lru_cache(maxsize=None)
 def _device_arrays(dcs: DistributedCompressedStructure):
-    """Stacked per-device padded clique slices of the global host maps."""
+    """Host-precomputed local-coordinate maps.
+
+    Local buffer layout per device (identical shape on every device):
+        [ Dloc: Kd*smax^2 | Oloc: Kd*smax*pmax
+        | Droot: Kr*smax^2 | Oroot: Kr*smax*pmax | dump ]
+    Root-only buffer layout (for the replicated root scan):
+        [ Droot | Oroot | dump ]
+    """
     struct = dcs.base
     upd = np.asarray(_update_map(struct))
     s_idx, p_idx, diag_pad, n_ext = _padded_indices(struct)
+    smax, pmax = struct.smax, max(struct.pmax, 1)
+    dsz, osz = smax * smax, smax * pmax
     D = dcs.n_devices
     Kd = max((len(c) for c in dcs.device_cliques), default=0) or 1
+    Kr = len(dcs.root_cliques)
+
+    o_loc_off = Kd * dsz
+    d_root_off = Kd * (dsz + osz)
+    root_len = Kr * (dsz + osz)
+    dump_local = d_root_off + root_len
+    dump_root = root_len
+
+    root_index = {k: i for i, k in enumerate(dcs.root_cliques)}
+
+    def decode(t):
+        """Global flat position -> (clique, region, offset) or None."""
+        if t == struct.dump:
+            return None
+        if t < struct.d_size:
+            return t // dsz, "D", t % dsz
+        t2 = t - struct.d_size
+        return t2 // osz, "O", t2 % osz
+
+    def root_local(t):
+        dec = decode(t)
+        if dec is None:
+            return dump_root
+        k2, reg, off = dec
+        i2 = root_index.get(k2)
+        if i2 is None:
+            return dump_root
+        return i2 * dsz + off if reg == "D" else Kr * dsz + i2 * osz + off
+
     ids = np.zeros((D, Kd), np.int32)
     pad = np.ones((D, Kd), bool)
-    for d, cl in enumerate(dcs.device_cliques):
-        ids[d, : len(cl)] = cl
-        pad[d, : len(cl)] = False
-    upd_dev = upd[ids].copy()
-    upd_dev[pad] = struct.dump  # padded steps write zeros to the dump slot
-    s_dev = s_idx[ids]
-    p_dev = p_idx[ids]
-    dpad_dev = diag_pad[ids]
+    gather = np.full((D, d_root_off), struct.dump, np.int64)
+    upd_loc = np.full((D, Kd, pmax, pmax), dump_local, np.int64)
+    s_dev = np.zeros((D, Kd, smax), np.int32)
+    p_dev = np.zeros((D, Kd, pmax), np.int32)
+    dpad_dev = np.zeros((D, Kd, smax), diag_pad.dtype)
     own = np.zeros((D, struct.n), bool)
     for d, cl in enumerate(dcs.device_cliques):
-        for k in cl:
+        loc_index = {k: j for j, k in enumerate(cl)}
+        for j, k in enumerate(cl):
+            ids[d, j] = k
+            pad[d, j] = False
+            gather[d, j * dsz:(j + 1) * dsz] = k * dsz + np.arange(dsz)
+            gather[d, o_loc_off + j * osz: o_loc_off + (j + 1) * osz] = (
+                struct.d_size + k * osz + np.arange(osz)
+            )
+            s_dev[d, j] = s_idx[k]
+            p_dev[d, j] = p_idx[k]
+            dpad_dev[d, j] = diag_pad[k]
             s, _ = struct.blocks[k]
             own[d, list(s)] = True
+            for a in range(pmax):
+                for bb in range(pmax):
+                    t = upd[k, a, bb]
+                    dec = decode(t)
+                    if dec is None:
+                        continue
+                    k2, reg, off = dec
+                    j2 = loc_index.get(k2)
+                    if j2 is not None:
+                        upd_loc[d, j, a, bb] = (
+                            j2 * dsz + off
+                            if reg == "D"
+                            else o_loc_off + j2 * osz + off
+                        )
+                    elif k2 in root_index:
+                        upd_loc[d, j, a, bb] = d_root_off + root_local(t)
+                    # else: outside device+root => dump (impossible by RIP)
+        # padded steps' s/p indices alias real slots harmlessly (L=I, B=0);
+        # point them at clique 0 of the structure.
+        for j in range(len(cl), Kd):
+            s_dev[d, j] = s_idx[0]
+            p_dev[d, j] = p_idx[0]
+
     rids = np.asarray(dcs.root_cliques, np.int32)
+    r_upd_loc = np.full((max(Kr, 1), pmax, pmax), dump_root, np.int64)
+    for i, k in enumerate(dcs.root_cliques):
+        for a in range(pmax):
+            for bb in range(pmax):
+                r_upd_loc[i, a, bb] = root_local(upd[k, a, bb])
     r_vars = np.asarray(
         sorted({v for k in dcs.root_cliques for v in struct.blocks[k][0]}),
         np.int32,
     )
-    return (ids, pad, upd_dev, s_dev, p_dev, dpad_dev, own, rids, r_vars,
-            n_ext, s_idx, p_idx, diag_pad, upd)
+    # Root cliques are contiguous at the END of the global order: their D
+    # and O blocks are two contiguous tail slices of the global buffer.
+    r0 = int(rids.min()) if Kr else len(struct.blocks)
+    root_slices = (
+        (r0 * dsz, struct.d_size),
+        (struct.d_size + r0 * osz, struct.d_size + struct.o_size),
+    )
+    geom = dict(
+        smax=smax, pmax=pmax, dsz=dsz, osz=osz, Kd=Kd, Kr=Kr,
+        o_loc_off=o_loc_off, d_root_off=d_root_off, root_len=root_len,
+        dump_local=dump_local, dump_root=dump_root, n_ext=n_ext,
+        root_slices=root_slices,
+    )
+    return dict(
+        ids=ids, pad=pad, gather=gather, upd_loc=upd_loc, s_dev=s_dev,
+        p_dev=p_dev, dpad_dev=dpad_dev, own=own, rids=rids,
+        r_upd_loc=r_upd_loc, r_s=s_idx[rids], r_p=p_idx[rids],
+        r_dpad=diag_pad[rids], r_vars=r_vars, geom=geom,
+    )
 
 
 def _my(dcs, axis_name):
-    (ids, pad, upd_dev, s_dev, p_dev, dpad_dev, own, rids, r_vars, n_ext,
-     s_idx, p_idx, diag_pad, upd) = _device_arrays(dcs)
+    a = _device_arrays(dcs)
     d = jax.lax.axis_index(axis_name)
     return dict(
-        ids=jnp.asarray(ids)[d],
-        pad=jnp.asarray(pad)[d],
-        upd=jnp.asarray(upd_dev)[d],
-        s=jnp.asarray(s_dev)[d],
-        p=jnp.asarray(p_dev)[d],
-        dpad=jnp.asarray(dpad_dev)[d],
-        own=jnp.asarray(own)[d],
-        rids=jnp.asarray(rids),
-        r_upd=jnp.asarray(upd[rids]),
-        r_s=jnp.asarray(s_idx[rids]),
-        r_p=jnp.asarray(p_idx[rids]),
-        r_dpad=jnp.asarray(diag_pad[rids]),
-        r_vars=jnp.asarray(r_vars),
-        n_ext=n_ext,
+        pad=jnp.asarray(a["pad"])[d],
+        gather=jnp.asarray(a["gather"])[d],
+        upd=jnp.asarray(a["upd_loc"])[d],
+        s=jnp.asarray(a["s_dev"])[d],
+        p=jnp.asarray(a["p_dev"])[d],
+        dpad=jnp.asarray(a["dpad_dev"])[d],
+        own=jnp.asarray(a["own"])[d],
+        r_upd=jnp.asarray(a["r_upd_loc"]),
+        r_s=jnp.asarray(a["r_s"]),
+        r_p=jnp.asarray(a["r_p"]),
+        r_dpad=jnp.asarray(a["r_dpad"]),
+        r_vars=jnp.asarray(a["r_vars"]),
+        geom=a["geom"],
     )
+
+
+def _local_buffer(buf, m):
+    """Gather [Dloc | Oloc | Droot | Oroot | dump] from the global buffer."""
+    g = m["geom"]
+    (lo1, hi1), (lo2, hi2) = g["root_slices"]
+    return jnp.concatenate(
+        [buf[m["gather"]], buf[lo1:hi1], buf[lo2:hi2],
+         jnp.zeros((1,), buf.dtype)]
+    )
+
+
+def _combined_root(buf, lc, m, axis_name):
+    """Root-only buffer: original root blocks + psum of local deltas."""
+    g = m["geom"]
+    (lo1, hi1), (lo2, hi2) = g["root_slices"]
+    root_orig = jnp.concatenate([buf[lo1:hi1], buf[lo2:hi2]])
+    delta = lc[g["d_root_off"]: g["dump_local"]] - root_orig
+    combined = root_orig + jax.lax.psum(delta, axis_name)
+    return jnp.concatenate([combined, jnp.zeros((1,), buf.dtype)])
+
+
+def _read_local(lc, j, g):
+    D = jax.lax.dynamic_slice(lc, (j * g["dsz"],), (g["dsz"],))
+    O = jax.lax.dynamic_slice(
+        lc, (g["o_loc_off"] + j * g["osz"],), (g["osz"],)
+    )
+    return D.reshape(g["smax"], g["smax"]), O.reshape(g["smax"], g["pmax"])
+
+
+def _read_root(rb, i, g):
+    D = jax.lax.dynamic_slice(rb, (i * g["dsz"],), (g["dsz"],))
+    O = jax.lax.dynamic_slice(
+        rb, (g["Kr"] * g["dsz"] + i * g["osz"],), (g["osz"],)
+    )
+    return D.reshape(g["smax"], g["smax"]), O.reshape(g["smax"], g["pmax"])
 
 
 # ---------------------------------------------------------------------------
@@ -153,48 +281,50 @@ def _my(dcs, axis_name):
 
 
 def factor_llt(buf, dcs: DistributedCompressedStructure, axis_name: str):
-    """Subtree-parallel block Cholesky on the compressed buffer.
+    """Subtree-parallel block Cholesky on compressed storage.
 
-    ``buf`` is the psum-combined assembled compressed buffer, replicated
-    (identical) on every device; must run inside shard_map over
-    ``axis_name``.  Communication: one psum of the buffer delta (the root
-    blocks' Schur contributions ride in it)."""
-    struct = dcs.base
+    ``buf`` is the psum-combined assembled global compressed buffer,
+    replicated on every device; must run inside shard_map over
+    ``axis_name``.  Per-device work and carry are O(local blocks + root);
+    communication is one O(root) psum.
+
+    reference: BlockCholeskyInPlace semantics
+    (block_triangular_operations.cc:184-219) with the separator pointer
+    scatter becoming the remapped local-coordinate index add."""
     m = _my(dcs, axis_name)
-    smax = struct.smax
-    eye = None
+    g = m["geom"]
 
-    def body(bc, inp):
-        k, is_pad, upd_k, dpad_k = inp
-        D, O = _read_blocks(bc, k, struct)
-        D = D + jnp.diag(dpad_k)
-        D = jnp.where(is_pad, jnp.eye(smax, dtype=bc.dtype), D)
+    def body(lc, inp):
+        j, is_pad, upd_j, dpad_j = inp
+        D, O = _read_local(lc, j, g)
+        D = D + jnp.diag(dpad_j)
+        D = jnp.where(is_pad, jnp.eye(g["smax"], dtype=lc.dtype), D)
         L = jnp.linalg.cholesky(D)
         B = jax.scipy.linalg.solve_triangular(L, O, lower=True)
         B = jnp.where(is_pad, 0.0, B)
-        bc = bc.at[upd_k.ravel()].add(-(B.T @ B).ravel())
-        return bc, (L, B)
+        lc = lc.at[upd_j.ravel()].add(-(B.T @ B).ravel())
+        return lc, (L, B)
 
-    bc, (Ls, Bs) = jax.lax.scan(
-        body, buf, (m["ids"], m["pad"], m["upd"], m["dpad"])
+    lc0 = _local_buffer(buf, m)
+    lc, (Ls, Bs) = jax.lax.scan(
+        body, lc0,
+        (jnp.arange(g["Kd"]), m["pad"], m["upd"], m["dpad"]),
     )
     fail_local = ~(jnp.all(jnp.isfinite(Ls)) & jnp.all(jnp.isfinite(Bs)))
 
-    # Root view: original buffer + summed deltas.  Other devices' subtree
-    # deltas land at positions the root scan never reads.
-    root_view = buf + jax.lax.psum(bc - buf, axis_name)
+    rb = _combined_root(buf, lc, m, axis_name)
 
-    def rbody(bc2, inp):
-        k, upd_k, dpad_k = inp
-        D, O = _read_blocks(bc2, k, struct)
-        D = D + jnp.diag(dpad_k)
+    def rbody(rbc, inp):
+        i, upd_i, dpad_i = inp
+        D, O = _read_root(rbc, i, g)
+        D = D + jnp.diag(dpad_i)
         L = jnp.linalg.cholesky(D)
         B = jax.scipy.linalg.solve_triangular(L, O, lower=True)
-        bc2 = bc2.at[upd_k.ravel()].add(-(B.T @ B).ravel())
-        return bc2, (L, B)
+        rbc = rbc.at[upd_i.ravel()].add(-(B.T @ B).ravel())
+        return rbc, (L, B)
 
     _, (Lr, Br) = jax.lax.scan(
-        rbody, root_view, (m["rids"], m["r_upd"], m["r_dpad"])
+        rbody, rb, (jnp.arange(g["Kr"]), m["r_upd"], m["r_dpad"])
     )
     fail_root = ~(jnp.all(jnp.isfinite(Lr)) & jnp.all(jnp.isfinite(Br)))
     fail = (
@@ -206,7 +336,7 @@ def factor_llt(buf, dcs: DistributedCompressedStructure, axis_name: str):
 def solve_llt(fac, dcs: DistributedCompressedStructure, b, axis_name: str):
     Ls, Bs, Lr, Br = fac
     m = _my(dcs, axis_name)
-    z = jnp.zeros((m["n_ext"],), b.dtype).at[: dcs.n].set(b)
+    z = jnp.zeros((m["geom"]["n_ext"],), b.dtype).at[: dcs.n].set(b)
     r = m["r_vars"]
 
     def fwd(zc, x):
@@ -247,26 +377,29 @@ def solve_llt(fac, dcs: DistributedCompressedStructure, b, axis_name: str):
 
 
 def factor_ldlt(buf, dcs: DistributedCompressedStructure, axis_name: str):
-    struct = dcs.base
+    """Subtree-parallel clamped LDLT (indefinite KKT systems with equality
+    duals; RLDLT 1e-9 pivot clamp semantics)."""
     m = _my(dcs, axis_name)
-    smax = struct.smax
+    g = m["geom"]
 
-    def body(bc, inp):
-        k, is_pad, upd_k, dpad_k = inp
-        D, O = _read_blocks(bc, k, struct)
-        D = D + jnp.diag(dpad_k)
-        D = jnp.where(is_pad, jnp.eye(smax, dtype=bc.dtype), D)
+    def body(lc, inp):
+        j, is_pad, upd_j, dpad_j = inp
+        D, O = _read_local(lc, j, g)
+        D = D + jnp.diag(dpad_j)
+        D = jnp.where(is_pad, jnp.eye(g["smax"], dtype=lc.dtype), D)
         Lu, d = _ldlt_clamped_block(D)
         tmp = jax.scipy.linalg.solve_triangular(
             Lu, O, lower=True, unit_diagonal=True
         ).T
         C = tmp / d[None, :]
         C = jnp.where(is_pad, 0.0, C)
-        bc = bc.at[upd_k.ravel()].add((-(C * d[None, :]) @ C.T).ravel())
-        return bc, (Lu, d, C)
+        lc = lc.at[upd_j.ravel()].add((-(C * d[None, :]) @ C.T).ravel())
+        return lc, (Lu, d, C)
 
-    bc, (Ls, ds, Cs) = jax.lax.scan(
-        body, buf, (m["ids"], m["pad"], m["upd"], m["dpad"])
+    lc0 = _local_buffer(buf, m)
+    lc, (Ls, ds, Cs) = jax.lax.scan(
+        body, lc0,
+        (jnp.arange(g["Kd"]), m["pad"], m["upd"], m["dpad"]),
     )
     fail_local = ~(
         jnp.all(jnp.isfinite(Ls))
@@ -274,22 +407,22 @@ def factor_ldlt(buf, dcs: DistributedCompressedStructure, axis_name: str):
         & jnp.all(jnp.isfinite(Cs))
     )
 
-    root_view = buf + jax.lax.psum(bc - buf, axis_name)
+    rb = _combined_root(buf, lc, m, axis_name)
 
-    def rbody(bc2, inp):
-        k, upd_k, dpad_k = inp
-        D, O = _read_blocks(bc2, k, struct)
-        D = D + jnp.diag(dpad_k)
+    def rbody(rbc, inp):
+        i, upd_i, dpad_i = inp
+        D, O = _read_root(rbc, i, g)
+        D = D + jnp.diag(dpad_i)
         Lu, d = _ldlt_clamped_block(D)
         tmp = jax.scipy.linalg.solve_triangular(
             Lu, O, lower=True, unit_diagonal=True
         ).T
         C = tmp / d[None, :]
-        bc2 = bc2.at[upd_k.ravel()].add((-(C * d[None, :]) @ C.T).ravel())
-        return bc2, (Lu, d, C)
+        rbc = rbc.at[upd_i.ravel()].add((-(C * d[None, :]) @ C.T).ravel())
+        return rbc, (Lu, d, C)
 
     _, (Lrr, drr, Crr) = jax.lax.scan(
-        rbody, root_view, (m["rids"], m["r_upd"], m["r_dpad"])
+        rbody, rb, (jnp.arange(g["Kr"]), m["r_upd"], m["r_dpad"])
     )
     fail_root = ~(
         jnp.all(jnp.isfinite(Lrr))
@@ -305,7 +438,7 @@ def factor_ldlt(buf, dcs: DistributedCompressedStructure, axis_name: str):
 def solve_ldlt(fac, dcs: DistributedCompressedStructure, b, axis_name: str):
     Ls, ds, Cs, Lrr, drr, Crr = fac
     m = _my(dcs, axis_name)
-    z = jnp.zeros((m["n_ext"],), b.dtype).at[: dcs.n].set(b)
+    z = jnp.zeros((m["geom"]["n_ext"],), b.dtype).at[: dcs.n].set(b)
     r = m["r_vars"]
 
     def fwd(zc, x):
