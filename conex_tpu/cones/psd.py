@@ -26,8 +26,37 @@ from ..algebra import sym
 from .base import SchurOut, SlackStats
 
 
+class PSDState(NamedTuple):
+    """PSD cone state: the iterate W plus warm-start eigenvector seeds.
+
+    The reference's workspace holds only W (psd_constraint.h); the TPU
+    rebuild carries the extreme-eigenvector estimates of the WS product
+    across iterations so the per-iteration eigenvalue estimation is a
+    handful of warm power-iteration matvecs instead of ~28 cold batched
+    matmuls (algebra/sym.py::extreme_eigenvalues_warm).  lam == 0 is the
+    cold-start sentinel (identity initialization / warmstart aborts).
+    """
+
+    w: jnp.ndarray  # (B, n, n)
+    vhi: jnp.ndarray  # (B, n) right eigenvector seed, max end
+    uhi: jnp.ndarray  # (B, n) left eigenvector seed, max end
+    vlo: jnp.ndarray  # (B, n) right eigenvector seed, min end
+    ulo: jnp.ndarray  # (B, n) left eigenvector seed, min end
+    lam: jnp.ndarray  # (B, 2) previous (lo, hi) estimates; zeros = cold
+
+
+def make_psd_state(w) -> PSDState:
+    """Build a PSDState around an iterate array of shape (..., n, n)."""
+    n = w.shape[-1]
+    ones = jnp.full(w.shape[:-1], 1.0 / (n ** 0.5), w.dtype)
+    lam = jnp.zeros(w.shape[:-2] + (2,), w.dtype)
+    return PSDState(w=w, vhi=ones, uhi=ones, vlo=ones, ulo=ones, lam=lam)
+
+
 class PSDStepCache(NamedTuple):
     WS: jnp.ndarray  # (B, n, n) the product W * minus_s
+    seeds: tuple  # updated (vhi, uhi, vlo, ulo)
+    lam: jnp.ndarray  # (B, 2) updated estimates
 
 
 @jax.tree_util.register_dataclass
@@ -59,10 +88,12 @@ class DenseLMICone:
     def rank(self) -> int:
         return self.n * self.batch
 
-    def identity_state(self, dtype) -> jnp.ndarray:
+    def identity_state(self, dtype) -> PSDState:
         # reference: SetIdentity (psd_constraint.cc:92-95)
-        return jnp.broadcast_to(
-            jnp.eye(self.n, dtype=dtype), (self.batch, self.n, self.n)
+        return make_psd_state(
+            jnp.broadcast_to(
+                jnp.eye(self.n, dtype=dtype), (self.batch, self.n, self.n)
+            )
         )
 
     def _minus_s(self, y, k):
@@ -70,8 +101,16 @@ class DenseLMICone:
         # minus_s = sum_i y_i A_i - k C
         return jnp.einsum("v,bvij->bij", y, self.A) - k * self.C
 
-    def schur(self, w: jnp.ndarray) -> SchurOut:
+    def schur(self, state: PSDState) -> SchurOut:
         # reference: SCHUR_COMPLEMENT_FUNCTION (dense_lmi_constraint.cc:72-103)
+        w = state.w
+        if self._use_fused_schur(w.dtype):
+            from .psd_pallas import schur_fused
+
+            G, AW, AQc, w_dot_c, c_dot_Qc = schur_fused(self.A, w, self.C)
+            return SchurOut(
+                G=G, AW=AW, AQc=AQc, w_dot_c=w_dot_c, c_dot_Qc=c_dot_Qc
+            )
         P = jnp.einsum("bvij,bjk->bvik", self.A, w)  # A_i W panel
         CW = self.C @ w
         G = jnp.einsum("bvik,buki->vu", P, P)  # tr(A_v W A_u W)
@@ -81,23 +120,52 @@ class DenseLMICone:
         c_dot_Qc = jnp.einsum("bik,bki->", CW, CW)  # tr(C W C W)
         return SchurOut(G=G, AW=AW, AQc=AQc, w_dot_c=w_dot_c, c_dot_Qc=c_dot_Qc)
 
-    def _extreme_eigs(self, WS):
-        """(lam_lo, lam_hi) of WS per batch element.
+    def _use_fused_schur(self, dtype) -> bool:
+        """Dispatch the fused Pallas Schur kernel (psd_pallas.py): TPU
+        backend, f32, and one cone's operator block fits VMEM comfortably.
+        The einsum path materializes the (B, m, n, n) panel P = A W in HBM
+        and re-reads it per contraction — HBM-bandwidth-bound (6.7 ms of
+        the 12.3 ms benchmark Newton iteration); the fused kernel keeps P
+        in VMEM."""
+        import jax as _jax
+
+        per_cone_bytes = self.num_vars * self.n * self.n * 4
+        return (
+            _jax.default_backend() == "tpu"
+            and dtype == jnp.float32
+            and per_cone_bytes <= 6 * 2**20
+            and self.n >= 8
+        )
+
+    def _extreme_eigs(self, WS, state: PSDState):
+        """(lam_lo, lam_hi, seeds, lam) of WS per batch element.
 
         The reference estimates these with heuristically-seeded asymmetric
         Lanczos + a tridiagonal eigensolver (psd_constraint.cc:63-77).  A
         tridiagonal eigensolver is bisection — branchy sequential control
         flow that cripples XLA both at compile and run time inside the
-        jitted loop — so we use the matmul-only squaring estimator, which is
-        also *more* accurate than n/2 truncated Lanczos.
+        jitted loop — so we use matmul-only estimators: the squaring
+        estimator on cold starts (lam == 0 sentinel) and warm power
+        iteration from the carried eigenvector seeds otherwise.
         """
-        return sym.extreme_eigenvalues(WS)
+        is_cold = jnp.max(jnp.abs(state.lam)) == 0.0
 
-    def prepare_step(self, w, y, c_weight, e_weight):
+        def cold(_):
+            return sym.extreme_eigenvalues_seeded(WS)
+
+        def warm(_):
+            return sym.extreme_eigenvalues_warm(
+                WS, state.vhi, state.uhi, state.vlo, state.ulo, state.lam
+            )
+
+        return jax.lax.cond(is_cold, cold, warm, None)
+
+    def prepare_step(self, state: PSDState, y, c_weight, e_weight):
         # reference: PrepareStep (psd_constraint.cc:45-84)
+        w = state.w
         minus_s = self._minus_s(y, c_weight)
         WS = w @ minus_s
-        lo, hi = self._extreme_eigs(WS)
+        lo, hi, seeds, lam = self._extreme_eigs(WS, state)
         norminf = jnp.max(
             jnp.maximum(jnp.abs(e_weight + lo), jnp.abs(e_weight + hi))
         )
@@ -108,12 +176,13 @@ class DenseLMICone:
             + 2.0 * jnp.einsum("bii->", WS)
             + self.rank()
         )
-        return PSDStepCache(WS=WS), norminf, normsq
+        return PSDStepCache(WS=WS, seeds=seeds, lam=lam), norminf, normsq
 
-    def take_step(self, w, cache: PSDStepCache, step_size):
+    def take_step(self, state: PSDState, cache: PSDStepCache, step_size):
         # reference: GeodesicUpdate (psd_constraint.cc:13-28): with
         # d = WS + e I (e_weight folded in by TakeStep), compute
         # W <- expm(step * d) W, then re-symmetrize.
+        w = state.w
         n = self.n
         d = cache.WS + jnp.eye(n, dtype=w.dtype)
         d = d * step_size
@@ -123,20 +192,26 @@ class DenseLMICone:
         # F32-only and serial).
         expd = sym.expm_taylor(d)
         w_new = expd @ w
-        return 0.5 * (w_new + jnp.swapaxes(w_new, 1, 2))
+        w_new = 0.5 * (w_new + jnp.swapaxes(w_new, 1, 2))
+        vhi, uhi, vlo, ulo = cache.seeds
+        return PSDState(
+            w=w_new, vhi=vhi, uhi=uhi, vlo=vlo, ulo=ulo, lam=cache.lam
+        )
 
-    def affine_step(self, w, y, e_weight):
+    def affine_step(self, state: PSDState, y, e_weight):
         # reference: PrepareStep(affine) + AffineUpdate
         # (psd_constraint.cc:30-43, 53-57): W <- (1 + e) W + W S W.
+        w = state.w
         minus_s = self._minus_s(y, 0.0)
         WSW = w @ minus_s @ w
-        return (1.0 + e_weight) * w + WSW
+        return state._replace(w=(1.0 + e_weight) * w + WSW)
 
-    def slack_stats(self, w, y, c_weight) -> SlackStats:
+    def slack_stats(self, state: PSDState, y, c_weight) -> SlackStats:
         # reference: GetWeightedSlackEigenvalues (psd_constraint.cc:97-128)
+        w = state.w
         minus_s = self._minus_s(y, c_weight)
         WS = w @ minus_s
-        lo, hi = self._extreme_eigs(WS)
+        lo, hi, _, _ = self._extreme_eigs(WS, state)
         lam_max = -lo
         lam_min = -hi
         return SlackStats(
@@ -146,5 +221,5 @@ class DenseLMICone:
             trace=-jnp.einsum("bii->", WS),
         )
 
-    def dual_variable(self, w):
-        return w
+    def dual_variable(self, state: PSDState):
+        return state.w

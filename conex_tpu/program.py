@@ -467,7 +467,7 @@ class Program:
         )
         raw = jax.tree.map(lambda x: np.asarray(x) if hasattr(x, "shape") else x, raw)
 
-        self._ws = tuple(jnp.asarray(w) for w in raw.ws)
+        self._ws = jax.tree.map(jnp.asarray, raw.ws)
         self._scalings = (
             jnp.asarray(raw.b_scaling),
             jnp.asarray(raw.c_scaling),
@@ -497,7 +497,10 @@ class Program:
         raw = self._last_result
         if raw is None:
             raise RuntimeError("no solve yet")
-        w = np.asarray(raw.ws[i]) * getattr(self._blocks[i], "dual_scale", 1.0)
+        blk = self._blocks[i]
+        w = np.asarray(blk.dual_variable(raw.ws[i])) * getattr(
+            blk, "dual_scale", 1.0
+        )
         if not bool(raw.primal_infeasible):
             w = w / (float(raw.k) * float(raw.b_scaling))
         if w.ndim >= 2 and w.shape[0] == 1:
@@ -533,7 +536,7 @@ class Program:
         if self._ws is None:
             raise RuntimeError("no state yet: solve first")
         return dict(
-            ws=[np.asarray(w) for w in self._ws],
+            ws=jax.tree.map(np.asarray, self._ws),
             b_scaling=float(self._scalings[0]),
             c_scaling=float(self._scalings[1]),
         )
@@ -542,7 +545,9 @@ class Program:
         """Restore a checkpoint produced by save_state; the next solve with
         initialization_mode=WARMSTART resumes from it exactly
         (reference test_warmstart.cc:47-79 semantics)."""
-        self._ws = tuple(jnp.asarray(w, self.dtype) for w in state["ws"])
+        self._ws = jax.tree.map(
+            lambda w: jnp.asarray(w, self.dtype), tuple(state["ws"])
+        )
         self._scalings = (
             jnp.asarray(state["b_scaling"], self.dtype),
             jnp.asarray(state["c_scaling"], self.dtype),

@@ -339,3 +339,34 @@ def test_extreme_eigenvalues_clustered():
     lo, hi = extreme_eigenvalues(jnp.asarray(WS))
     assert abs(float(hi) - true[-1]) / true[-1] <= 1e-2
     assert abs(float(lo) - true[0]) / true[0] <= 1e-2
+
+
+def test_fused_schur_kernel_matches_einsum():
+    """psd_pallas.schur_fused (interpret mode) against the einsum oracle."""
+    from conex_tpu.cones.psd import DenseLMICone
+    from conex_tpu.cones.psd_pallas import schur_fused
+
+    rng = np.random.default_rng(11)
+    B, m, n = 3, 4, 16
+    A = rng.uniform(-1, 1, (B, m, n, n)).astype(np.float32)
+    A = 0.5 * (A + np.swapaxes(A, 2, 3))
+    C = np.stack([np.eye(n) + 0.1 * randsym(n, rng) for _ in range(B)]).astype(
+        np.float32
+    )
+    w = np.stack(
+        [np.eye(n) + 0.05 * randsym(n, rng) for _ in range(B)]
+    ).astype(np.float32)
+
+    blk = DenseLMICone(A=jnp.asarray(A), C=jnp.asarray(C))
+    ref = blk.schur(jnp.asarray(w))  # einsum path on CPU
+    G, AW, AQc, wc, cqc = schur_fused(
+        jnp.asarray(A), jnp.asarray(w), jnp.asarray(C), interpret=True
+    )
+    np.testing.assert_allclose(np.asarray(G), np.asarray(ref.G), rtol=2e-5,
+                               atol=1e-4)
+    np.testing.assert_allclose(np.asarray(AW), np.asarray(ref.AW), rtol=2e-5,
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(AQc), np.asarray(ref.AQc),
+                               rtol=2e-5, atol=1e-4)
+    np.testing.assert_allclose(float(wc), float(ref.w_dot_c), rtol=2e-5)
+    np.testing.assert_allclose(float(cqc), float(ref.c_dot_Qc), rtol=2e-5)
