@@ -53,7 +53,7 @@ def main():
     import jax.numpy as jnp
 
     from conex_tpu.config import SolverConfig
-    from conex_tpu.cones.psd import DenseLMICone
+    from conex_tpu.cones.psd import DenseLMICone, make_psd_state
     from conex_tpu.parallel.sharded import solve_scenarios
 
     B, n, m = 256, 100, 50
@@ -69,7 +69,9 @@ def main():
     b = np.einsum("sbvij,sbij->sv", A, X0).astype(dtype)
 
     blk = DenseLMICone(A=jnp.asarray(A), C=jnp.asarray(C))
-    init_ws = (jnp.broadcast_to(jnp.eye(n, dtype=dtype), (B, 1, n, n)),)
+    init_ws = (
+        make_psd_state(jnp.broadcast_to(jnp.eye(n, dtype=dtype), (B, 1, n, n))),
+    )
     scalars = dict(
         k=jnp.zeros((B,), dtype),
         b_scaling=jnp.ones((B,), dtype),

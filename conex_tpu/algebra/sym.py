@@ -248,7 +248,13 @@ def extreme_eigenvalues_warm(M, vhi, uhi, vlo, ulo, lam_prev,
     """
     fro = jnp.sqrt(jnp.sum(M * M, axis=(-2, -1))) + 1e-30
     sig_warm = 4.0 * jnp.max(jnp.abs(lam_prev), axis=-1)
-    sigma = jnp.where(sig_warm > 1e-6 * fro, jnp.minimum(sig_warm, fro), fro)
+    # The 1.25 margin keeps sigma strictly above rho(M): with sigma == rho
+    # exactly (e.g. WS ~ -rho I at a converged centering point, where
+    # rho == fro), M + sigma I ~ 0 and the shifted power iteration collapses
+    # to the zero vector, poisoning the Rayleigh quotient.
+    sigma = 1.25 * jnp.where(
+        sig_warm > 1e-6 * fro, jnp.minimum(sig_warm, fro), fro
+    )
     sig = sigma[..., None]
 
     def norm(v):
@@ -275,7 +281,7 @@ def extreme_eigenvalues_warm(M, vhi, uhi, vlo, ulo, lam_prev,
         length=num_steps,
     )
 
-    def rq(u, v):
+    def rq(u, v, prev):
         Mv = jnp.einsum("...ij,...j->...i", M, v)
         uv = jnp.einsum("...i,...i->...", u, v)
         vv = jnp.einsum("...i,...i->...", v, v)
@@ -286,9 +292,12 @@ def extreme_eigenvalues_warm(M, vhi, uhi, vlo, ulo, lam_prev,
             two,
             one,
         )
-        return jnp.where(jnp.isfinite(lam), lam, 0.0)
+        # Degenerate iteration (zero vector / non-finite RQ): carry the
+        # previous estimate forward rather than reporting 0, which would
+        # masquerade as a converged direction (dinf floor at 1).
+        return jnp.where(jnp.isfinite(lam) & (vv > 1e-30), lam, prev)
 
-    lam_hi = rq(uhi, vhi)
-    lam_lo = rq(ulo, vlo)
+    lam_hi = rq(uhi, vhi, lam_prev[..., 1])
+    lam_lo = rq(ulo, vlo, lam_prev[..., 0])
     lam = jnp.stack([lam_lo, lam_hi], axis=-1)
     return lam_lo, lam_hi, (vhi, uhi, vlo, ulo), lam

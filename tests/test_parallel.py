@@ -13,7 +13,7 @@ import jax.numpy as jnp
 from jax.sharding import Mesh
 
 from conex_tpu import SolverConfig
-from conex_tpu.cones.psd import DenseLMICone
+from conex_tpu.cones.psd import DenseLMICone, make_psd_state
 from conex_tpu.cones.soc import SOCCone
 from conex_tpu.parallel.sharded import (
     solve_cone_sharded,
@@ -70,7 +70,8 @@ def test_cone_sharded_matches_single_device(mesh8):
     # Final iterates accumulate psum-vs-serial reduction-order differences
     # through the exponential map; looser than y.
     np.testing.assert_allclose(
-        np.asarray(res_shard.ws[0]), np.asarray(res_single.ws[0]), atol=1e-6
+        np.asarray(res_shard.ws[0].w), np.asarray(res_single.ws[0].w),
+        atol=1e-6,
     )
 
 
@@ -85,7 +86,7 @@ def test_scenarios_match_loop(mesh8):
     config = SolverConfig(max_iterations=30)
 
     blk = DenseLMICone(A=jnp.asarray(A), C=jnp.asarray(C))
-    init_ws = (jnp.broadcast_to(jnp.eye(n), (S, B, n, n)),)
+    init_ws = (make_psd_state(jnp.broadcast_to(jnp.eye(n), (S, B, n, n))),)
     mesh = Mesh(np.asarray(mesh8[:4]), ("dp",))
     res = solve_scenarios(
         (blk,), (), jnp.asarray(b), init_ws, _scalars(jnp.float64, (S,)),
@@ -115,7 +116,7 @@ def test_scenarios_cone_sharded_2d(mesh8):
     config = SolverConfig(max_iterations=25)
 
     blk = DenseLMICone(A=jnp.asarray(A), C=jnp.asarray(C))
-    init_ws = (jnp.broadcast_to(jnp.eye(n), (S, B, n, n)),)
+    init_ws = (make_psd_state(jnp.broadcast_to(jnp.eye(n), (S, B, n, n))),)
     mesh = Mesh(np.asarray(mesh8).reshape(2, 4), ("dp", "tp"))
     res = solve_scenarios_cone_sharded(
         (blk,), (), jnp.asarray(b), init_ws, _scalars(jnp.float64, (S,)),

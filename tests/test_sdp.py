@@ -357,8 +357,10 @@ def test_fused_schur_kernel_matches_einsum():
         [np.eye(n) + 0.05 * randsym(n, rng) for _ in range(B)]
     ).astype(np.float32)
 
+    from conex_tpu.cones.psd import make_psd_state
+
     blk = DenseLMICone(A=jnp.asarray(A), C=jnp.asarray(C))
-    ref = blk.schur(jnp.asarray(w))  # einsum path on CPU
+    ref = blk.schur(make_psd_state(jnp.asarray(w)))  # einsum path on CPU
     G, AW, AQc, wc, cqc = schur_fused(
         jnp.asarray(A), jnp.asarray(w), jnp.asarray(C), interpret=True
     )
