@@ -45,7 +45,7 @@ def _cholesky(K):
     return L, fail
 
 
-def _ldlt_clamped(K):
+def _ldlt_scalar(K):
     """Fixed-order LDLT with pivot clamping, right-looking, via fori_loop.
 
     Produces M with unit-lower-triangular L strictly below the diagonal and
@@ -72,6 +72,91 @@ def _ldlt_clamped(K):
         return M
 
     M = jax.lax.fori_loop(0, n, body, K.astype(dtype))
+    fail = ~jnp.all(jnp.isfinite(M))
+    return M, fail
+
+
+# Panel width for the blocked LDLT.  128 matches the MXU systolic-array
+# tile; the within-panel factor is the O(P) scalar loop, everything else
+# (panel solve + trailing update) is batched matmuls.
+LDLT_PANEL = 128
+
+
+def _ldlt_clamped(K, panel: int = LDLT_PANEL):
+    """Blocked right-looking fixed-order LDLT with the +/-1e-9 pivot clamp.
+
+    TPU-native replacement for the pure scalar loop: the scalar variant
+    performs n sequential steps each doing a full (n, n) rank-1 update on
+    the VPU; this version does n/P scalar steps of size (P, P) and moves
+    the O(n^2 P) trailing work onto the MXU as (n, P) x (P, n) matmuls.
+    Same clamp semantics (fixed elimination order, so the pivot sequence
+    and clamping decisions match the scalar variant exactly in exact
+    arithmetic).  reference: BlockLDLTInPlace
+    (block_triangular_operations.cc:315-349) factors per-supernode panels
+    the same way, with RLDLT (RLDLT.h:381-393) as the panel kernel.
+
+    ``K`` is padded to a multiple of ``panel`` with an identity diagonal:
+    LDLT(blockdiag(K, I)) == blockdiag(LDLT(K), I), so slicing back is
+    exact.
+    """
+    n = K.shape[0]
+    if n <= panel:
+        return _ldlt_scalar(K)
+    dtype = K.dtype
+    P = panel
+    nb = -(-n // P)
+    n_pad = nb * P
+    if n_pad != n:
+        Kp = jnp.zeros((n_pad, n_pad), dtype)
+        Kp = Kp.at[:n, :n].set(K)
+        Kp = Kp.at[jnp.arange(n, n_pad), jnp.arange(n, n_pad)].set(1.0)
+    else:
+        Kp = K
+    eyeP = jnp.eye(P, dtype=dtype)
+    pidx = jnp.arange(P)
+    ridx = jnp.arange(n_pad)
+
+    def panel_factor(j, S):
+        d = S[j, j]
+        d = jnp.where(jnp.abs(d) < LDLT_PIVOT_CLAMP,
+                      jnp.where(d >= 0, LDLT_PIVOT_CLAMP, -LDLT_PIVOT_CLAMP),
+                      d)
+        col = S[:, j]
+        below = pidx > j
+        l_col = jnp.where(below, col / d, 0.0)
+        S = S - d * jnp.outer(l_col, l_col)
+        S = jnp.where(below[:, None] & (pidx[None, :] == j), l_col[:, None], S)
+        S = S.at[j, j].set(d)
+        return S
+
+    def body(jb, M):
+        j0 = jb * P
+        # Factor the P x P diagonal block with the scalar kernel.
+        Ablk = jax.lax.dynamic_slice(M, (j0, j0), (P, P))
+        Dfac = jax.lax.fori_loop(0, P, panel_factor, Ablk)
+        d = jnp.diagonal(Dfac)
+        L11 = jnp.tril(Dfac, -1) + eyeP
+        # Panel solve: A21 = L21 d L11^T  =>  L21 = (A21 L11^{-T}) / d.
+        cols = jax.lax.dynamic_slice(M, (0, j0), (n_pad, P))
+        below_mask = (ridx >= j0 + P)[:, None]
+        A21 = jnp.where(below_mask, cols, 0.0)
+        X = jax.scipy.linalg.solve_triangular(
+            L11, A21.T, lower=True, unit_diagonal=True
+        ).T
+        L21 = X / d[None, :]
+        # Write the finished column block back.
+        in_panel = ((ridx >= j0) & (ridx < j0 + P))[:, None]
+        colnew = jnp.where(in_panel, 0.0, cols)
+        colnew = jax.lax.dynamic_update_slice(colnew, Dfac, (j0, 0))
+        colnew = jnp.where(below_mask, L21, colnew)
+        M = jax.lax.dynamic_update_slice(M, colnew, (0, j0))
+        # MXU trailing update.  L21 vanishes on rows < j0 + P, so this
+        # touches only the trailing square.
+        M = M - (L21 * d[None, :]) @ L21.T
+        return M
+
+    M = jax.lax.fori_loop(0, nb, body, Kp)
+    M = M[:n, :n]
     fail = ~jnp.all(jnp.isfinite(M))
     return M, fail
 
