@@ -174,3 +174,161 @@ def test_mu_stall_detector_quiet_on_wellposed():
     )
     assert r.solved and not r.mu_stalled
     assert abs(b @ r.y - 7.0) < 1e-6
+
+
+def test_bad_initialization_fail_variant_graceful():
+    """reference: DoBadInitialization(fail=true) (solver_failures.cc:48-110):
+    initial_centering_steps_coldstart = 0, divergence_upper_bound = 0.5 on
+    the unbalanced-slack instance — five random instances, run as the
+    reference binary does (solver_failures.cc:256-259).  The reference
+    documents occasional poor convergence; the requirement is graceful
+    classification: finite output, and feasibility whenever solved=True."""
+    for seed in range(5):
+        rng = np.random.default_rng(100 + seed)
+        num_vars = 5
+        n = num_vars + 10
+        A = rng.uniform(-1, 1, (n, num_vars))
+        optimal_slack = np.ones(n)
+        optimal_dual = np.ones(n)
+        m = n // 2
+        optimal_slack[:m] = 1e-3
+        optimal_dual[m:] = 1e-3
+        y_opt = rng.uniform(-1, 1, num_vars)
+        C = optimal_slack + A @ y_opt
+        b = A.T @ optimal_dual
+
+        # The reference adds one equality constraint over vars
+        # {0, 1, num_vars-1} with coefficients (1, 2, 3) and consistent rhs
+        # (solver_failures.cc:73-88).
+        eq = np.zeros((1, num_vars))
+        eq[0, [0, 1, num_vars - 1]] = [1.0, 2.0, 3.0]
+        eq_affine = eq @ y_opt
+
+        prog = Program(num_vars)
+        prog.add_equality_constraint(eq, eq_affine)
+        prog.add_linear_constraint(A, C)
+        res = prog.solve(
+            b,
+            SolverConfig(
+                max_iterations=40,
+                final_centering_steps=10,
+                initial_centering_steps_coldstart=0,
+                divergence_upper_bound=0.5,
+                iterative_refinement_iterations=2,
+            ),
+        )
+        assert np.all(np.isfinite(res.y)), seed
+        if res.solved:
+            assert (C - A @ res.y).min() >= -1e-4, seed
+            assert np.abs(eq @ res.y - eq_affine).max() < 1e-4, seed
+
+
+@pytest.mark.parametrize("n_implicit", [1, 2, 3])
+def test_lp_fail_slater_reference_config(n_implicit):
+    """reference: LPFailSlater (solver_failures.cc:208-252) with the
+    reference's exact shape family (m=10, n1 implicit equalities as +/- row
+    pairs, n2=8 strict rows) and config (inv_sqrt_mu_max=100,
+    final_centering_tolerance=1, infeasibility_threshold=2e6,
+    final_centering_steps=5, prepare_dual_variables).  Must terminate
+    gracefully with finite output."""
+    rng = np.random.default_rng(200 + n_implicit)
+    m = 10
+    n1, n2 = n_implicit, 8
+    yref = rng.uniform(-1, 1, m)
+    A1 = rng.uniform(-1, 1, (n1, m))
+    C1 = A1 @ yref
+    A2 = rng.uniform(-1, 1, (n2, m))
+    C2 = A2 @ yref + 2.0
+    A = np.vstack([A1, -A1, A2])
+    c = np.concatenate([C1, -C1, C2])
+    xref = np.abs(rng.uniform(-1, 1, 2 * n1 + n2))
+    b = A.T @ xref
+
+    prog = Program(m)
+    prog.add_linear_constraint(A, c)
+    res = prog.solve(
+        b,
+        SolverConfig(
+            prepare_dual_variables=True,
+            inv_sqrt_mu_max=100.0,
+            final_centering_tolerance=1.0,
+            infeasibility_threshold=2e6,
+            final_centering_steps=5,
+            kkt_solver=KKT_SOLVER_LDLT,
+            iterative_refinement_iterations=2,
+            max_iterations=60,
+        ),
+    )
+    assert np.all(np.isfinite(res.y))
+    if res.solved:
+        # Any solution lies on the implicit equality face A1 y = C1.
+        assert np.abs(A1 @ res.y - C1).max() < 1e-3
+
+
+def test_mpc_failing_ldlt_graceful():
+    """reference: MPCFailingLDLT (solver_failures.cc:112-206): a T=3 MPC
+    chain — dynamics equalities, per-stage input inequalities (the
+    fail-trigger), and quadratic-cost epigraphs — whose KKT matrix
+    defeats the reference's LDLT.  The clamp + refinement redesign must
+    keep the solve finite (solved or cleanly unsolved, never NaN)."""
+    rng = np.random.default_rng(5)
+    T, nu, nx = 3, 1, 2
+    num_vars = T * (nu + nx + 2)
+
+    Ai = rng.uniform(-1, 1, (nx, nx))
+    Bi = rng.uniform(-1, 1, (nx, nu))
+    f = rng.uniform(-1, 1, nx)
+    Hxu = rng.uniform(-1, 1, (2, nu))
+    gxu = rng.uniform(-1, 1, 2)
+
+    def input_vars(i):
+        off = T * nx + i * nu
+        return list(range(off, off + nu))
+
+    def state_vars(i):
+        assert i >= 1
+        off = (i - 1) * nx
+        return list(range(off, off + nx))
+
+    def stage_vars(i):
+        y = []
+        if i > 0:
+            y += state_vars(i)
+        y += input_vars(i)
+        y += state_vars(i + 1)
+        return y
+
+    prog = Program(num_vars)
+    epigraph = T * (nu + nx)
+    for i in range(T):
+        if i > 0:
+            D = np.hstack([Ai, Bi, -np.eye(nx)])
+        else:
+            D = np.hstack([Bi, -np.eye(nx)])
+        prog.add_equality_constraint(D, f, variables=stage_vars(i))
+        if 0 < i < T - 1:
+            prog.add_linear_constraint(Hxu, gxu, variables=input_vars(i))
+        prog.add_quadratic_cost_epigraph(np.eye(nu), input_vars(i), epigraph)
+        epigraph += 1
+        prog.add_quadratic_cost_epigraph(
+            np.eye(nx), state_vars(i + 1), epigraph
+        )
+        epigraph += 1
+
+    b = -np.ones(num_vars)
+    res = prog.solve(
+        b,
+        SolverConfig(
+            inv_sqrt_mu_max=1e4,
+            final_centering_steps=10,
+            max_iterations=50,
+            kkt_solver=KKT_SOLVER_LDLT,
+            iterative_refinement_iterations=2,
+        ),
+    )
+    assert np.all(np.isfinite(res.y))
+    if res.solved:
+        # Dynamics feasibility at the returned point.
+        x1 = res.y[state_vars(1)]
+        u0 = res.y[input_vars(0)]
+        assert np.abs(Bi @ u0 - x1 - f).max() < 1e-3
