@@ -1,0 +1,84 @@
+"""Split-precision matmul ladder (algebra/mm.py) vs f64 oracles.
+
+On CPU the bf16 splits are emulated exactly, so the error ladder is
+verifiable here: default-on-f32-inputs is exact f32, x3 must land near
+2^-16 relative, x6 near f32 epsilon — measured against an f64 oracle of
+the same f32 inputs.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from conex_tpu.algebra import mm
+
+
+@pytest.fixture
+def xy():
+    rng = np.random.default_rng(0)
+    x = rng.uniform(-1, 1, (96, 96)).astype(np.float32)
+    y = rng.uniform(-1, 1, (96, 96)).astype(np.float32)
+    return jnp.asarray(x), jnp.asarray(y)
+
+
+def _relerr(out, ref):
+    out = np.asarray(out, np.float64)
+    return np.linalg.norm(out - ref) / np.linalg.norm(ref)
+
+
+def test_x3_x6_error_ladder(xy):
+    x, y = xy
+    ref = np.asarray(x, np.float64) @ np.asarray(y, np.float64)
+
+    e3 = _relerr(jax.jit(lambda a, b: mm.matmul(a, b, "x3"))(x, y), ref)
+    e6 = _relerr(jax.jit(lambda a, b: mm.matmul(a, b, "x6"))(x, y), ref)
+    # pure bf16 single pass for scale
+    e1 = _relerr(
+        jax.jit(
+            lambda a, b: jnp.matmul(
+                a.astype(jnp.bfloat16), b.astype(jnp.bfloat16),
+                preferred_element_type=jnp.float32,
+            )
+        )(x, y),
+        ref,
+    )
+    # measured on this shape: bf16 ~2e-3, x3 ~4e-6, x6 ~6e-8
+    assert e1 > 1e-4
+    assert e3 < e1 / 50       # x3 kills the leading error term
+    assert e3 < 1e-5
+    assert e6 < 3e-7          # ~f32 quality
+    assert e6 <= e3
+
+
+def test_einsum_matches_matmul(xy):
+    x, y = xy
+    for m in ("default", "x3", "x6"):
+        a = mm.einsum("ij,jk->ik", x, y, m)
+        b = mm.matmul(x, y, m)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-6)
+
+
+def test_f64_passthrough():
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(rng.uniform(-1, 1, (32, 32)))  # f64 under x64
+    y = jnp.asarray(rng.uniform(-1, 1, (32, 32)))
+    if x.dtype != jnp.float64:
+        pytest.skip("needs x64")
+    out = mm.matmul(x, y, "x3")
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(x) @ np.asarray(y), rtol=1e-12
+    )
+
+
+def test_mode_context():
+    assert mm.get_mode() == "default"
+    with mm.mode("x3"):
+        assert mm.get_mode() == "x3"
+        with mm.mode("x6"):
+            assert mm.get_mode() == "x6"
+        assert mm.get_mode() == "x3"
+    assert mm.get_mode() == "default"
+    with pytest.raises(ValueError):
+        mm.set_mode("bogus")
