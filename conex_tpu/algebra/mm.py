@@ -66,15 +66,19 @@ def mode(m: str):
 
 
 def _split2(x):
-    hi = x.astype(jnp.bfloat16)
+    # The barrier on hi must come BEFORE the subtraction: XLA:TPU's
+    # algebraic simplifier pushes the outer bf16 convert through the
+    # subtract, folding bf16(x - f32(bf16(x))) to bf16(x) - bf16(x) == 0
+    # (observed on-chip: the lo term comes back all-zero without it).
+    hi = jax.lax.optimization_barrier(x.astype(jnp.bfloat16))
     lo = (x - hi.astype(x.dtype)).astype(jnp.bfloat16)
     return hi, lo
 
 
 def _split3(x):
-    hi = x.astype(jnp.bfloat16)
+    hi = jax.lax.optimization_barrier(x.astype(jnp.bfloat16))
     r = x - hi.astype(x.dtype)
-    mid = r.astype(jnp.bfloat16)
+    mid = jax.lax.optimization_barrier(r.astype(jnp.bfloat16))
     lo = (r - mid.astype(x.dtype)).astype(jnp.bfloat16)
     return hi, mid, lo
 

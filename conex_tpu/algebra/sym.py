@@ -15,6 +15,8 @@ import functools
 import jax
 import jax.numpy as jnp
 
+from . import mm
+
 
 def expm_pade(A: jnp.ndarray) -> jnp.ndarray:
     """Pade(3,3)-style rational approximation of exp(A).
@@ -48,9 +50,9 @@ def expm_taylor(A: jnp.ndarray, degree: int = 8, squarings: int = 3):
     # Horner evaluation of sum X^k / k!.
     Y = eye + X / degree
     for k in range(degree - 1, 0, -1):
-        Y = eye + (X @ Y) / k
+        Y = eye + mm.matmul(X, Y) / k
     for _ in range(squarings):
-        Y = Y @ Y
+        Y = mm.matmul(Y, Y)
     return Y
 
 

@@ -22,7 +22,7 @@ from typing import NamedTuple, Optional, Tuple
 import jax
 import jax.numpy as jnp
 
-from ..algebra import sym
+from ..algebra import mm, sym
 from .base import SchurOut, SlackStats
 
 
@@ -99,7 +99,7 @@ class DenseLMICone:
     def _minus_s(self, y, k):
         # reference: ComputeNegativeSlack (dense_lmi_constraint.cc:24-27):
         # minus_s = sum_i y_i A_i - k C
-        return jnp.einsum("v,bvij->bij", y, self.A) - k * self.C
+        return mm.einsum("v,bvij->bij", y, self.A) - k * self.C
 
     def schur(self, state: PSDState) -> SchurOut:
         # reference: SCHUR_COMPLEMENT_FUNCTION (dense_lmi_constraint.cc:72-103)
@@ -111,29 +111,38 @@ class DenseLMICone:
             return SchurOut(
                 G=G, AW=AW, AQc=AQc, w_dot_c=w_dot_c, c_dot_Qc=c_dot_Qc
             )
-        P = jnp.einsum("bvij,bjk->bvik", self.A, w)  # A_i W panel
-        CW = self.C @ w
-        G = jnp.einsum("bvik,buki->vu", P, P)  # tr(A_v W A_u W)
+        P = mm.einsum("bvij,bjk->bvik", self.A, w)  # A_i W panel
+        CW = mm.matmul(self.C, w)
+        G = mm.einsum("bvik,buki->vu", P, P)  # tr(A_v W A_u W)
         AW = jnp.einsum("bvii->v", P)  # tr(A_v W)
-        AQc = jnp.einsum("bik,bvki->v", CW, P)  # tr(C W A_v W)
+        AQc = mm.einsum("bik,bvki->v", CW, P)  # tr(C W A_v W)
         w_dot_c = jnp.einsum("bii->", CW)
-        c_dot_Qc = jnp.einsum("bik,bki->", CW, CW)  # tr(C W C W)
+        c_dot_Qc = mm.einsum("bik,bki->", CW, CW)  # tr(C W C W)
         return SchurOut(G=G, AW=AW, AQc=AQc, w_dot_c=w_dot_c, c_dot_Qc=c_dot_Qc)
 
     def _use_fused_schur(self, dtype) -> bool:
         """Dispatch the fused Pallas Schur kernel (psd_pallas.py): TPU
-        backend, f32, and one cone's operator block fits VMEM comfortably.
-        The einsum path materializes the (B, m, n, n) panel P = A W in HBM
-        and re-reads it per contraction — HBM-bandwidth-bound (6.7 ms of
-        the 12.3 ms benchmark Newton iteration); the fused kernel keeps P
-        in VMEM."""
+        backend, f32, default matmul precision, and one cone's padded
+        operator block fits VMEM with room for the kernel's panel
+        temporaries (At/Pb/Rb blocks plus the batched G3).  The einsum
+        path materializes the (B, m, n, n) panel P = A W in HBM and
+        re-reads it per contraction; the fused kernel keeps it in VMEM.
+        Split-precision modes (mm x3/x6) use the einsum path — the kernel
+        computes in Mosaic's native f32 matmul precision only."""
         import jax as _jax
 
-        per_cone_bytes = self.num_vars * self.n * self.n * 4
+        from ..algebra import mm
+        from .psd_pallas import _round_up
+
+        n_p = _round_up(self.n, 128)
+        m_p = _round_up(self.num_vars, 8)
+        block_bytes = n_p * m_p * n_p * 4
+        total = 3 * block_bytes + n_p * m_p * m_p * 4 + 3 * n_p * n_p * 4
         return (
             _jax.default_backend() == "tpu"
             and dtype == jnp.float32
-            and per_cone_bytes <= 6 * 2**20
+            and mm.get_mode() == "default"
+            and total <= 14 * 2**20
             and self.n >= 8
         )
 
@@ -164,7 +173,7 @@ class DenseLMICone:
         # reference: PrepareStep (psd_constraint.cc:45-84)
         w = state.w
         minus_s = self._minus_s(y, c_weight)
-        WS = w @ minus_s
+        WS = mm.matmul(w, minus_s)
         lo, hi, seeds, lam = self._extreme_eigs(WS, state)
         norminf = jnp.max(
             jnp.maximum(jnp.abs(e_weight + lo), jnp.abs(e_weight + hi))
@@ -172,7 +181,7 @@ class DenseLMICone:
         # norm2 = tr(WS WS) + 2 tr(WS) + rank (psd_constraint.cc:79-80;
         # the reference assumes e_weight = 1 here).
         normsq = (
-            jnp.einsum("bik,bki->", WS, WS)
+            mm.einsum("bik,bki->", WS, WS)
             + 2.0 * jnp.einsum("bii->", WS)
             + self.rank()
         )
@@ -191,7 +200,7 @@ class DenseLMICone:
         # (exponential_map_pade.cc:23-32) it is matmul-only (XLA:TPU LU is
         # F32-only and serial).
         expd = sym.expm_taylor(d)
-        w_new = expd @ w
+        w_new = mm.matmul(expd, w)
         w_new = 0.5 * (w_new + jnp.swapaxes(w_new, 1, 2))
         vhi, uhi, vlo, ulo = cache.seeds
         return PSDState(
@@ -203,21 +212,21 @@ class DenseLMICone:
         # (psd_constraint.cc:30-43, 53-57): W <- (1 + e) W + W S W.
         w = state.w
         minus_s = self._minus_s(y, 0.0)
-        WSW = w @ minus_s @ w
+        WSW = mm.matmul(mm.matmul(w, minus_s), w)
         return state._replace(w=(1.0 + e_weight) * w + WSW)
 
     def slack_stats(self, state: PSDState, y, c_weight) -> SlackStats:
         # reference: GetWeightedSlackEigenvalues (psd_constraint.cc:97-128)
         w = state.w
         minus_s = self._minus_s(y, c_weight)
-        WS = w @ minus_s
+        WS = mm.matmul(w, minus_s)
         lo, hi, _, _ = self._extreme_eigs(WS, state)
         lam_max = -lo
         lam_min = -hi
         return SlackStats(
             lam_min=jnp.min(lam_min),
             lam_max=jnp.max(lam_max),
-            frob_sq=jnp.einsum("bik,bki->", WS, WS),
+            frob_sq=mm.einsum("bik,bki->", WS, WS),
             trace=-jnp.einsum("bii->", WS),
         )
 

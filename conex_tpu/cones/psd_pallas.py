@@ -3,24 +3,29 @@
 The XLA einsum formulation of the Schur panel (psd.py::schur) materializes
 the panel P = A W of shape (B, m, n, n) in HBM and re-reads it for each of
 the G / AW / AQc contractions: at the flagship benchmark shape
-(B=256, n=100, m=50, f32) P alone is 512 MB, and the measured schur phase
-(6.7 ms of the 12.3 ms Newton iteration) is HBM-bandwidth-bound on that
-traffic — not MXU-bound.
-
+(B=256, n=100, m=50, f32) P alone is 512 MB of HBM traffic per direction.
 This kernel fuses the whole phase over a grid on the cone batch: each step
-loads one cone's operator block A_b (m*n^2 floats) into VMEM, forms
-P_b = A_b W_b with one (m*n, n) x (n, n) MXU matmul, and immediately
-contracts every output —
+loads one cone's operator block into VMEM, forms the panel products on the
+MXU, and contracts every output without the panel ever leaving VMEM.
 
-    G   += P2 @ P2t.T          (P2[v,(i,k)] = P[v,i,k], P2t[u,(i,k)] = P[u,k,i])
-    AW  += diag-sum of P_b     (tr A_v W)
-    AQc += <P_v, CW^T>         (tr C W A_v W)
-    w.c += tr CW,   c.Qc += <CW, CW^T>
+Mosaic (the Pallas TPU compiler) only supports single-contracting-dim
+matmuls, and lane-dimension reshapes/transposes require 128-aligned
+shapes, so the kernel works on inputs padded to n -> multiple of 128 and
+m -> multiple of 8, in the batch-leading layout At[b,i,v,j] = A[b,v,i,j]:
 
-— so P never leaves VMEM.  HBM traffic drops to one read of A (+ w, C) and
-the tiny outputs.  reference: the SCHUR_COMPLEMENT_FUNCTION hot loop,
-dense_lmi_constraint.cc:72-103 (the reference's pre-vectorized panel is the
-same layout trick; the fusion is the TPU addition).
+    Pb = (At.(n*m, n)) @ w            -> Pb[i,v,k] = (A_v W)[i,k]
+    Rb = w @ (At.(n, m*n))            -> Rb[i,u,k] = (W A_u)[i,k]
+    G  = sum_i Pb[i] @ Rb[i]^T        (one batched matmul, batch dim i)
+    AW_v  = sum_i Pb[i,v,i]           (masked reduction)
+    AQc_v = sum_{i,k} Pb[i,v,k] CW[k,i]
+
+(the first kernel design used a multi-dim dot_general and an unaligned
+lane reshape; Mosaic rejects the former at verification and SIGABRTs on
+the latter — both discovered on-chip, hence this formulation).
+
+reference: the SCHUR_COMPLEMENT_FUNCTION hot loop,
+dense_lmi_constraint.cc:72-103 (the reference's pre-vectorized panel is
+the same layout trick; the fusion is the TPU addition).
 
 Used when running on TPU (psd.py dispatches); the einsum path remains the
 portable implementation and the test oracle.
@@ -36,7 +41,11 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _schur_kernel(A_ref, w_ref, C_ref, G_ref, AW_ref, AQc_ref, wc_ref,
+def _round_up(x: int, mult: int) -> int:
+    return ((x + mult - 1) // mult) * mult
+
+
+def _schur_kernel(At_ref, w_ref, C_ref, G_ref, AW_ref, AQc_ref, wc_ref,
                   cqc_ref):
     b = pl.program_id(0)
 
@@ -48,64 +57,85 @@ def _schur_kernel(A_ref, w_ref, C_ref, G_ref, AW_ref, AQc_ref, wc_ref,
         wc_ref[:] = jnp.zeros_like(wc_ref)
         cqc_ref[:] = jnp.zeros_like(cqc_ref)
 
-    m, n = A_ref.shape[1], A_ref.shape[2]
+    n, m = At_ref.shape[1], At_ref.shape[2]
     w = w_ref[0]
-    A = A_ref[0]  # (m, n, n)
-
-    # P = A W: one (m*n, n) x (n, n) MXU matmul.
-    P = jnp.dot(
-        A.reshape(m * n, n), w, preferred_element_type=jnp.float32
-    ).reshape(m, n, n)
-    CW = jnp.dot(C_ref[0], w, preferred_element_type=jnp.float32)
-
-    # G_vu = sum_ik P[v,i,k] P[u,k,i] — multi-dim contraction, no reshape
-    # (Mosaic rejects (m, n, n) -> (m, n^2) shape casts for unaligned n).
-    G_ref[:] += jax.lax.dot_general(
-        P, P, (((1, 2), (2, 1)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
-
-    eye = jnp.eye(n, dtype=P.dtype)
-    AW_ref[:] += jnp.sum(P * eye[None], axis=(1, 2))[None, :]
-    CWt = CW.T
-    AQc_ref[:] += jnp.sum(P * CWt[None], axis=(1, 2))[None, :]
-    wc_ref[:] = wc_ref[:] + jnp.sum(CW * eye)
-    cqc_ref[:] = cqc_ref[:] + jnp.sum(CW * CWt)
+    At = At_ref[0]  # (n, m, n), At[i,v,j] = A[v,i,j]
+    f32 = jnp.float32
+    # Pb[i,v,k] = (A_v W)[i,k] — leading-dims reshape only (lane dim kept).
+    Pb = jnp.dot(
+        At.reshape(n * m, n), w, preferred_element_type=f32
+    ).reshape(n, m, n)
+    # Rb[i,u,k] = (W A_u)[i,k] — the (n, m*n) reshape merges lanes, legal
+    # because n is 128-aligned here.
+    Rb = jnp.dot(
+        w, At.reshape(n, m * n), preferred_element_type=f32
+    ).reshape(n, m, n)
+    # G_vu = sum_ik Pb[i,v,k] Rb[i,u,k]: batched matmul over i (single
+    # contracting dim k), then reduce the batch axis.
+    G3 = jax.lax.dot_general(
+        Pb, Rb, (((2,), (2,)), ((0,), (0,))), preferred_element_type=f32
+    )  # (n, m, m)
+    G_ref[:] += jnp.sum(G3, axis=0)
+    CW = jnp.dot(C_ref[0], w, preferred_element_type=f32)
+    eyeb = jnp.eye(n, dtype=Pb.dtype)
+    # AW_v = tr(A_v W) = sum_i Pb[i,v,i]
+    AW_ref[:] += jnp.sum(Pb * eyeb[:, None, :], axis=(0, 2))[None, :]
+    # AQc_v = tr(C W A_v W) = sum_ik CW[k,i] Pb[i,v,k]
+    AQc_ref[:] += jnp.sum(Pb * CW.T[:, None, :], axis=(0, 2))[None, :]
+    wc_ref[:] = wc_ref[:] + jnp.trace(CW)[None, None]
+    cqc_ref[:] = cqc_ref[:] + jnp.sum(CW * CW.T)[None, None]
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
 def schur_fused(A, w, C, interpret=False):
     """Fused Schur phase: (G, AW, AQc, w_dot_c, c_dot_Qc) for a batch of
-    dense LMIs.  A: (B, m, n, n), w/C: (B, n, n)."""
+    dense LMIs.  A: (B, m, n, n), w/C: (B, n, n).  Pads n to a multiple of
+    128 and m to a multiple of 8 (zero padding is exact: padded rows of A
+    contribute zero rows/columns to every output, sliced off on return).
+    """
     B, m, n, _ = A.shape
+    n_p = _round_up(n, 128)
+    m_p = _round_up(m, 8)
+    if n_p != n:
+        A = jnp.pad(A, ((0, 0), (0, 0), (0, n_p - n), (0, n_p - n)))
+        w = jnp.pad(w, ((0, 0), (0, n_p - n), (0, n_p - n)))
+        C = jnp.pad(C, ((0, 0), (0, n_p - n), (0, n_p - n)))
+    if m_p != m:
+        A = jnp.pad(A, ((0, 0), (0, m_p - m), (0, 0), (0, 0)))
+    # Batch-leading layout for the in-kernel batched matmul.  A is
+    # loop-invariant across solver iterations, so XLA's loop-invariant
+    # code motion hoists this transpose out of the Newton while_loop.
+    At = jnp.swapaxes(A, 1, 2)  # (B, n_p, m_p, n_p)
     dtype = A.dtype
-    grid = (B,)
     out = pl.pallas_call(
         _schur_kernel,
-        grid=grid,
+        grid=(B,),
         in_specs=[
-            pl.BlockSpec((1, m, n, n), lambda b: (b, 0, 0, 0),
+            pl.BlockSpec((1, n_p, m_p, n_p), lambda b: (b, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, n, n), lambda b: (b, 0, 0),
+            pl.BlockSpec((1, n_p, n_p), lambda b: (b, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, n, n), lambda b: (b, 0, 0),
+            pl.BlockSpec((1, n_p, n_p), lambda b: (b, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((m, m), lambda b: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, m), lambda b: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, m), lambda b: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((m_p, m_p), lambda b: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, m_p), lambda b: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, m_p), lambda b: (0, 0),
+                         memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1), lambda b: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1), lambda b: (0, 0), memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((m, m), dtype),
-            jax.ShapeDtypeStruct((1, m), dtype),
-            jax.ShapeDtypeStruct((1, m), dtype),
+            jax.ShapeDtypeStruct((m_p, m_p), dtype),
+            jax.ShapeDtypeStruct((1, m_p), dtype),
+            jax.ShapeDtypeStruct((1, m_p), dtype),
             jax.ShapeDtypeStruct((1, 1), dtype),
             jax.ShapeDtypeStruct((1, 1), dtype),
         ],
         interpret=interpret,
-    )(A, w, C)
+    )(At, w, C)
     G, AW, AQc, wc, cqc = out
-    return G, AW[0], AQc[0], wc[0, 0], cqc[0, 0]
+    return G[:m, :m], AW[0, :m], AQc[0, :m], wc[0, 0], cqc[0, 0]

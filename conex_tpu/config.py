@@ -92,6 +92,18 @@ class SolverConfig:
     # mu_floor_drop_ratio = 0 to disable.
     mu_floor_drop_ratio: float = 0.5
     mu_floor_kmax_fraction: float = 0.1
+    # Matmul precision mode for the cone hot paths (Schur panels, WS
+    # products, geodesic exponential) — see algebra/mm.py.  On TPU the MXU
+    # multiplies in bf16; "default" lets XLA truncate f32 operands (fast,
+    # ~4e-4 rel err), "x3"/"x6" run the split-precision ladder (~3x/6x one
+    # bf16 pass, ~2^-16 / ~f32 rel err).  Ignored for f64 problem data.
+    schur_precision: str = "default"
+    # Precision island for the dense KKT factor+solve: "float64" casts the
+    # assembled Schur complement to f64 for factorization and the
+    # triangular solves (a tiny (m+dual)^2 matrix — cheap even with
+    # emulated f64 on TPU), casting solutions back to the solve dtype.
+    # None = factor in the solve dtype.  Dense path only.
+    kkt_island_dtype: Optional[str] = None
 
     def replace(self, **kw) -> "SolverConfig":
         return dataclasses.replace(self, **kw)

@@ -174,13 +174,22 @@ def _supernodal_impl(structure):
 
 
 def factor(K: jnp.ndarray, mode: int, structure=None,
-           axis_name=None) -> KKTFactor:
+           axis_name=None, island_dtype=None) -> KKTFactor:
     """``structure``: optional static SupernodalStructure — factors along
     the clique tree instead of densely (QR mode ignores it).  A
     DistributedSupernodalStructure shards the clique tree over the
     ``axis_name`` mesh axis (requires shard_map context).  With a
     CompressedSupernodalStructure, ``K`` is the flat block-compressed
-    buffer (supernodal/compressed.py), not a dense matrix."""
+    buffer (supernodal/compressed.py), not a dense matrix.
+
+    ``island_dtype``: optional precision island (e.g. jnp.float64) for the
+    dense path — the assembled KKT matrix is cast up before factorization
+    and ``solve`` casts solutions back to the rhs dtype.  The matrix is
+    tiny relative to the cone kernels, so this buys f64 factorization
+    robustness at negligible cost even with emulated f64 on TPU
+    (SolverConfig.kkt_island_dtype)."""
+    if island_dtype is not None and structure is None:
+        K = K.astype(island_dtype)
     if structure is not None and mode in (KKT_SOLVER_LLT, KKT_SOLVER_LDLT):
         from ..supernodal.compressed import CompressedSupernodalStructure
 
@@ -262,6 +271,10 @@ def solve(f: KKTFactor, b: jnp.ndarray, mode: int, refinement_steps: int = 0,
     reference: SolveInPlace + refinement loop, kkt_solver.cc:220-263.
     """
 
+    out_dtype = b.dtype
+    if structure is None and f.factor.dtype != b.dtype:
+        b = b.astype(f.factor.dtype)
+
     def base_solve(rhs):
         if structure is not None and mode in (KKT_SOLVER_LLT, KKT_SOLVER_LDLT):
             from ..supernodal.compressed import CompressedSupernodalStructure
@@ -324,4 +337,4 @@ def solve(f: KKTFactor, b: jnp.ndarray, mode: int, refinement_steps: int = 0,
     for _ in range(refinement_steps):
         r = b - residual_matvec(x)
         x = x + base_solve(r)
-    return x
+    return x.astype(out_dtype)

@@ -19,6 +19,7 @@ import jax
 import jax.numpy as jnp
 
 from ..config import KKT_SOLVER_LDLT, KKT_SOLVER_LLT, WARMSTART, SolverConfig
+from ..algebra import mm
 from ..cones.base import local_vars
 from ..cones.equality import EqualityBlock
 from . import kkt
@@ -317,6 +318,27 @@ def _solve_impl(
     rank_override: Optional[float] = None,
     kkt_structure=None,
 ):
+    """Trace the solve under the config's matmul-precision mode (a
+    trace-time contextvar — the mode is baked into the compiled program,
+    correct because callers retrace per static config)."""
+    with mm.mode(config.schur_precision):
+        return _solve_impl_inner(
+            blocks, eq_blocks, b, init_ws, init_scalars, config,
+            axis_name, rank_override, kkt_structure,
+        )
+
+
+def _solve_impl_inner(
+    blocks,
+    eq_blocks,
+    b,
+    init_ws,
+    init_scalars,
+    config: SolverConfig,
+    axis_name: Optional[str] = None,
+    rank_override: Optional[float] = None,
+    kkt_structure=None,
+):
     """``axis_name``: set when running constraint-sharded under shard_map —
     each device holds a subset of the cone blocks; all cross-cone
     aggregations (Schur sums, norm maxima, slack-eigenvalue extrema) become
@@ -335,6 +357,10 @@ def _solve_impl(
     warmstart = config.initialization_mode == WARMSTART
     mode = config.kkt_solver
     refine = config.iterative_refinement_iterations
+    kkt_island = (
+        jnp.dtype(config.kkt_island_dtype)
+        if config.kkt_island_dtype is not None else None
+    )
 
     if kkt_structure is not None and mode not in (
         KKT_SOLVER_LLT, KKT_SOLVER_LDLT
@@ -385,7 +411,8 @@ def _solve_impl(
             b_scaling, c_scaling, k_max = s.b_scaling, s.c_scaling, s.k_max
 
         # --- Factor (cone_program.cc:359-371) ---
-        fac = kkt.factor(G, mode, kkt_structure, axis_name)
+        fac = kkt.factor(G, mode, kkt_structure, axis_name,
+                         island_dtype=kkt_island)
 
         # The factor-fail / mu-update / centering branching of the reference
         # (cone_program.cc:360-403) is expressed branch-free: both sides are
@@ -666,7 +693,8 @@ def _solve_impl(
             blocks, eq_blocks, ws_final, n_kkt, m, dtype, axis_name,
             kkt_structure,
         )
-        fac = kkt.factor(G, mode, kkt_structure, axis_name)
+        fac = kkt.factor(G, mode, kkt_structure, axis_name,
+                         island_dtype=kkt_island)
         bres = s.k * b_full * s.b_scaling - AW
         y2 = kkt.solve(fac, bres, mode, refine, kkt_structure, axis_name)
         skip = s.fail | fac.fail
