@@ -89,13 +89,18 @@ def main():
 
     log(f"devices: {jax.devices()}")
 
-    def run():
-        res = solve_scenarios((blk,), (), jnp.asarray(b), init_ws, scalars, config)
-        jax.block_until_ready(res)
+    def run(bv):
+        res = solve_scenarios((blk,), (), bv, init_ws, scalars, config)
+        # Force completion with a device->host transfer: on the axon TPU
+        # tunnel, block_until_ready can return before the computation has
+        # actually run (async futures resolve at transfer time), and
+        # exact-repeat executions can be served from a replay cache — so
+        # every timed rep uses a unique b and fetches a scalar.
+        float(np.asarray(res.y).sum())
         return res
 
     t0 = time.perf_counter()
-    res = run()
+    res = run(jnp.asarray(b))
     log(f"compile+first run: {time.perf_counter() - t0:.2f}s")
     n_iters = np.asarray(res.num_iterations)
     fails = np.asarray(res.fail)
@@ -113,8 +118,9 @@ def main():
 
     best = float("inf")
     for rep in range(3):
+        bv = jnp.asarray(b * (1.0 + 1e-6 * (rep + 1)))
         t0 = time.perf_counter()
-        run()
+        run(bv)
         dt = time.perf_counter() - t0
         best = min(best, dt)
         log(f"rep {rep}: {dt:.3f}s")

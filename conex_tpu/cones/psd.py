@@ -69,6 +69,18 @@ class DenseLMICone:
     vars_: Optional[Tuple[int, ...]] = dataclasses.field(
         default=None, metadata=dict(static=True)
     )
+    # Optional precomputed padded+transposed operator for the fused Pallas
+    # Schur kernel (prepare()); (B, n_p, m_p, n_p) with At[b,i,v,j] =
+    # A_pad[b,v,i,j].  A is loop-invariant, but XLA does not reliably
+    # hoist the 100s-of-MB pad+transpose out of the Newton while_loop
+    # (profiled at 2.5 ms/iteration on the benchmark shape), so the solve
+    # loop materializes it once up front.
+    At: Optional[jnp.ndarray] = None
+    # Optional bfloat16 copy of A for the slack contraction _minus_s in
+    # default (bf16) matmul mode: XLA truncates the operands to bf16
+    # regardless, so the narrow copy halves that read's HBM traffic
+    # (profiled at 2 x 0.9 ms/iteration on the benchmark shape).
+    A_lo: Optional[jnp.ndarray] = None
 
     supports_line_search = False
     dual_scale = 1.0
@@ -96,9 +108,30 @@ class DenseLMICone:
             )
         )
 
+    def prepare(self):
+        """Precompute solve-loop invariants (called by _solve_impl before
+        entering the Newton loop): the fused kernel's padded transposed
+        operator block and, in default (bf16) matmul mode, bf16 copies
+        that halve the hot loop's A-traffic at unchanged precision."""
+        lo = mm.get_mode() == "default" and self.A.dtype == jnp.float32
+        new = self
+        if self.At is None and self._use_fused_schur(self.A.dtype):
+            from .psd_pallas import prepare_operator
+
+            new = dataclasses.replace(new, At=prepare_operator(self.A, lo=lo))
+        if lo and self.A_lo is None:
+            new = dataclasses.replace(new, A_lo=self.A.astype(jnp.bfloat16))
+        return new
+
     def _minus_s(self, y, k):
         # reference: ComputeNegativeSlack (dense_lmi_constraint.cc:24-27):
         # minus_s = sum_i y_i A_i - k C
+        if self.A_lo is not None:
+            s = jnp.einsum(
+                "v,bvij->bij", y.astype(jnp.bfloat16), self.A_lo,
+                preferred_element_type=jnp.float32,
+            )
+            return s - k * self.C
         return mm.einsum("v,bvij->bij", y, self.A) - k * self.C
 
     def schur(self, state: PSDState) -> SchurOut:
@@ -107,7 +140,9 @@ class DenseLMICone:
         if self._use_fused_schur(w.dtype):
             from .psd_pallas import schur_fused
 
-            G, AW, AQc, w_dot_c, c_dot_Qc = schur_fused(self.A, w, self.C)
+            G, AW, AQc, w_dot_c, c_dot_Qc = schur_fused(
+                self.A, w, self.C, At=self.At
+            )
             return SchurOut(
                 G=G, AW=AW, AQc=AQc, w_dot_c=w_dot_c, c_dot_Qc=c_dot_Qc
             )

@@ -58,7 +58,9 @@ def _schur_kernel(At_ref, w_ref, C_ref, G_ref, AW_ref, AQc_ref, wc_ref,
         cqc_ref[:] = jnp.zeros_like(cqc_ref)
 
     n, m = At_ref.shape[1], At_ref.shape[2]
-    w = w_ref[0]
+    # Compute precision follows the prepared operator's dtype (bf16 when
+    # prepare_operator(lo=True) — see its docstring).
+    w = w_ref[0].astype(At_ref.dtype)
     At = At_ref[0]  # (n, m, n), At[i,v,j] = A[v,i,j]
     f32 = jnp.float32
     # Pb[i,v,k] = (A_v W)[i,k] — leading-dims reshape only (lane dim kept).
@@ -76,7 +78,8 @@ def _schur_kernel(At_ref, w_ref, C_ref, G_ref, AW_ref, AQc_ref, wc_ref,
         Pb, Rb, (((2,), (2,)), ((0,), (0,))), preferred_element_type=f32
     )  # (n, m, m)
     G_ref[:] += jnp.sum(G3, axis=0)
-    CW = jnp.dot(C_ref[0], w, preferred_element_type=f32)
+    CW = jnp.dot(C_ref[0].astype(At_ref.dtype), w,
+                 preferred_element_type=f32)
     eyeb = jnp.eye(n, dtype=Pb.dtype)
     # AW_v = tr(A_v W) = sum_i Pb[i,v,i]
     AW_ref[:] += jnp.sum(Pb * eyeb[:, None, :], axis=(0, 2))[None, :]
@@ -86,27 +89,46 @@ def _schur_kernel(At_ref, w_ref, C_ref, G_ref, AW_ref, AQc_ref, wc_ref,
     cqc_ref[:] = cqc_ref[:] + jnp.sum(CW * CW.T)[None, None]
 
 
+def prepare_operator(A, lo=False):
+    """Pad (n -> 128-multiple, m -> 8/16-multiple) and transpose A to the
+    kernel's batch-leading layout At[b,i,v,j] = A_pad[b,v,i,j].  Called
+    once per solve (DenseLMICone.prepare); zero padding is exact — padded
+    rows contribute zero rows/columns to every kernel output.
+
+    ``lo=True`` stores At in bfloat16 (m padded to 16 for the bf16 tile):
+    Mosaic's f32 matmul truncates operands to bf16 anyway (measured
+    3e-4 fro err on-chip, identical error class), so the narrow copy
+    halves the kernel's HBM traffic — the dominant per-iteration cost —
+    at zero accuracy loss.  The kernel's compute precision follows
+    At.dtype, so full-precision modes pass lo=False."""
+    B, m, n, _ = A.shape
+    n_p = _round_up(n, 128)
+    m_p = _round_up(m, 16 if lo else 8)
+    if n_p != n:
+        A = jnp.pad(A, ((0, 0), (0, 0), (0, n_p - n), (0, n_p - n)))
+    if m_p != m:
+        A = jnp.pad(A, ((0, 0), (0, m_p - m), (0, 0), (0, 0)))
+    At = jnp.swapaxes(A, 1, 2)  # (B, n_p, m_p, n_p)
+    return At.astype(jnp.bfloat16) if lo else At
+
+
 @functools.partial(jax.jit, static_argnames=("interpret",))
-def schur_fused(A, w, C, interpret=False):
+def schur_fused(A, w, C, At=None, interpret=False):
     """Fused Schur phase: (G, AW, AQc, w_dot_c, c_dot_Qc) for a batch of
-    dense LMIs.  A: (B, m, n, n), w/C: (B, n, n).  Pads n to a multiple of
-    128 and m to a multiple of 8 (zero padding is exact: padded rows of A
-    contribute zero rows/columns to every output, sliced off on return).
+    dense LMIs.  A: (B, m, n, n), w/C: (B, n, n).  ``At``: optional
+    precomputed prepare_operator(A) — pass it when calling from inside a
+    loop so the pad+transpose is not re-executed per iteration (XLA does
+    not reliably hoist it; profiled at 2.5 ms/iter on the bench shape).
     """
     B, m, n, _ = A.shape
     n_p = _round_up(n, 128)
-    m_p = _round_up(m, 8)
+    if At is None:
+        At = prepare_operator(A)
+    m_p = At.shape[2]
     if n_p != n:
-        A = jnp.pad(A, ((0, 0), (0, 0), (0, n_p - n), (0, n_p - n)))
         w = jnp.pad(w, ((0, 0), (0, n_p - n), (0, n_p - n)))
         C = jnp.pad(C, ((0, 0), (0, n_p - n), (0, n_p - n)))
-    if m_p != m:
-        A = jnp.pad(A, ((0, 0), (0, m_p - m), (0, 0), (0, 0)))
-    # Batch-leading layout for the in-kernel batched matmul.  A is
-    # loop-invariant across solver iterations, so XLA's loop-invariant
-    # code motion hoists this transpose out of the Newton while_loop.
-    At = jnp.swapaxes(A, 1, 2)  # (B, n_p, m_p, n_p)
-    dtype = A.dtype
+    dtype = w.dtype
     out = pl.pallas_call(
         _schur_kernel,
         grid=(B,),

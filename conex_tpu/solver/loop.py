@@ -346,6 +346,11 @@ def _solve_impl_inner(
     *global* rank sum across devices."""
     dtype = b.dtype
     m = b.shape[0]
+    # Materialize per-block solve-loop invariants (e.g. the fused Schur
+    # kernel's padded operator layout) once, outside the Newton loop.
+    blocks = tuple(
+        blk.prepare() if hasattr(blk, "prepare") else blk for blk in blocks
+    )
     n_dual = sum(eq.p for eq in eq_blocks)
     n_kkt = m + n_dual
     b_full = jnp.zeros((n_kkt,), dtype).at[:m].set(b)
