@@ -43,7 +43,7 @@ def main():
     # accuracy suite (benchmarks/bench_accuracy.py, writes
     # BENCH_ACCURACY.json).  Default (no argument) is the headline
     # batched dense-SDP workload below.
-    if len(sys.argv) > 1 and sys.argv[1] in ("socp", "accuracy"):
+    if len(sys.argv) > 1 and sys.argv[1] in ("socp", "accuracy", "n300"):
         import importlib
 
         mod = importlib.import_module(f"benchmarks.bench_{sys.argv[1]}")
