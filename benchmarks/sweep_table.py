@@ -1,0 +1,199 @@
+"""Accuracy/time sweep table vs the reference across problem sizes.
+
+The reference's own comparison artifact is the MATLAB script
+/root/reference/interfaces/matlab/test/run_solver_comparison.m:1-42
+(SDPs with n in {20,50,100}, m = n and m = ceil(0.1 n^2), accuracy and
+time per shape, emitted as LaTeX rows).  This is its twin, extended with
+the n=300 reference-profile size, comparing:
+
+  * reference CPU (single core, fixed 30 Newton iterations)
+  * TPU f32 fast path (fixed 30 iterations, scaled-mu cap 1e-4 — the
+    headline bench configuration), B=1 and batched
+  * TPU f64 accuracy path (adaptive, mu target 6.25e-10) with the
+    achieved relative duality gap
+
+(n=300, m=0.1n^2=9000 is omitted: one 30-iteration reference solve at
+that shape is ~44 CPU-hours on this machine.)
+
+Reference timings come from baseline/REFERENCE_SWEEP.json (produced by
+baseline/bench_reference in fixed-30 mode, taskset -c 0).  Writes
+SWEEP_TABLE.json and SWEEP_TABLE.md at the repo root.
+
+Run:  python benchmarks/sweep_table.py
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SHAPES = [(20, 20), (20, 40), (50, 50), (50, 250), (100, 100), (100, 1000),
+          (300, 50), (300, 300)]
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def _workload(B, n, m, dtype, seed=0):
+    rng = np.random.default_rng(seed)
+    A = rng.uniform(-1, 1, (B, 1, m, n, n)).astype(dtype)
+    A = 0.5 * (A + np.swapaxes(A, 3, 4))
+    C = np.broadcast_to(np.eye(n, dtype=dtype), (B, 1, n, n)).copy()
+    X0 = rng.uniform(-1, 1, (B, 1, n, n)).astype(dtype)
+    X0 = np.einsum("sbij,sbkj->sbik", X0, X0) + 0.1 * np.eye(n, dtype=dtype)
+    b = np.einsum("sbvij,sbij->sv", A, X0).astype(dtype)
+    return A, C, b
+
+
+def _solve(A, C, b, cfg):
+    import jax
+    import jax.numpy as jnp
+
+    from conex_tpu.cones.psd import DenseLMICone, make_psd_state
+    from conex_tpu.parallel.sharded import solve_scenarios
+
+    B, _, m, n, _ = A.shape
+    dtype = A.dtype
+    blk = DenseLMICone(A=jnp.asarray(A), C=jnp.asarray(C))
+    ws = (make_psd_state(
+        jnp.broadcast_to(jnp.eye(n, dtype=dtype), (B, 1, n, n))),)
+    sc = dict(k=jnp.zeros((B,), dtype), b_scaling=jnp.ones((B,), dtype),
+              c_scaling=jnp.ones((B,), dtype))
+
+    def run(bv):
+        r = solve_scenarios((blk,), (), bv, ws, sc, cfg)
+        float(np.asarray(r.y).sum())
+        return r
+
+    r = run(jnp.asarray(b))
+    best = float("inf")
+    for rep in range(3):
+        bv = jnp.asarray(
+            b * (1.0 + 1e-7 * (rep + 1) + 1e-8 * (time.time() % 997)))
+        t0 = time.perf_counter()
+        run(bv)
+        best = min(best, time.perf_counter() - t0)
+    return r, best
+
+
+def tpu_f32(n, m, B, iters=30):
+    from conex_tpu.config import SolverConfig
+
+    A, C, b = _workload(B, n, m, np.float32)
+    cfg = SolverConfig(max_iterations=iters, final_centering_steps=0,
+                       inv_sqrt_mu_max=1e15, fixed_iterations=True,
+                       inv_sqrt_mu_cap_scaled=100.0)
+    r, best = _solve(A, C, b, cfg)
+    it = np.asarray(r.num_iterations)
+    fails = int(np.asarray(r.fail).sum())
+    if fails or not (it == iters).all():
+        return None
+    return dict(iters_per_sec=round(int(it.sum()) / best, 1), B=B)
+
+
+def tpu_f64(n, m, B):
+    from conex_tpu.config import SolverConfig
+
+    A, C, b = _workload(B, n, m, np.float64)
+    cfg = SolverConfig(max_iterations=120, inv_sqrt_mu_max=4e4,
+                       prepare_dual_variables=True)
+    r, best = _solve(A, C, b, cfg)
+    it = np.asarray(r.num_iterations)
+    solved = int(np.asarray(r.solved).sum())
+    X = np.asarray(r.ws[0].w)
+    k = np.asarray(r.k)
+    bsc = np.asarray(r.b_scaling)
+    ys = np.asarray(r.y)
+    gaps = []
+    for s in range(B):
+        Xs = X[s, 0] / (k[s] * bsc[s])
+        by = b[s] @ ys[s]
+        cx = np.sum(np.asarray(C[s, 0]) * Xs)
+        gaps.append(abs(cx - by) / (1 + abs(by)))
+    return dict(iters_per_sec=round(int(it.sum()) / best, 1), B=B,
+                solved=f"{solved}/{B}",
+                max_rel_gap=float(f"{max(gaps):.2e}"))
+
+
+def main():
+    import jax
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with open(os.path.join(root, "baseline/REFERENCE_SWEEP.json")) as f:
+        ref = json.load(f)
+
+    jax.config.update("jax_enable_x64", True)
+    rows = []
+    for n, m in SHAPES:
+        key = f"n{n}_m{m}"
+        r = ref.get(key)
+        ref_ips = r["iters_per_sec"] if r else None
+        # per-shape batch sizes bounded by HBM (A is B*m*n^2 f32 + copies)
+        bytes_per = m * n * n * 4
+        B_f32 = max(1, min(64, int(2e9 // max(bytes_per, 1))))
+        B_f64 = max(1, min(8, int(1e9 // max(2 * bytes_per, 1))))
+        log(f"shape n={n} m={m}: ref={ref_ips} it/s, B_f32={B_f32}, "
+            f"B_f64={B_f64}")
+        t32 = tpu_f32(n, m, B_f32)
+        t64 = tpu_f64(n, m, B_f64)
+        row = dict(n=n, m=m, ref_cpu_iters_per_sec=ref_ips,
+                   tpu_f32=t32, tpu_f64=t64)
+        if t32 and ref_ips:
+            row["f32_speedup"] = round(t32["iters_per_sec"] / ref_ips, 1)
+        if t64 and ref_ips:
+            row["f64_speedup"] = round(t64["iters_per_sec"] / ref_ips, 1)
+        rows.append(row)
+        log(json.dumps(row))
+
+    payload = dict(
+        description=(
+            "Accuracy/time sweep vs the reference (twin of "
+            "run_solver_comparison.m, extended to n=300).  All rates are "
+            "Newton iterations/s; reference = single core fixed-30; TPU "
+            "f32 = fixed-30 with scaled-mu cap 1e-4 (headline config), "
+            "batched; TPU f64 = adaptive to mu ~ 6e-10 with measured max "
+            "relative duality gap.  n=300 m=9000 omitted (one reference "
+            "solve ~44 CPU-hours)."
+        ),
+        device=str(jax.devices()[0]),
+        rows=rows,
+    )
+    with open(os.path.join(root, "SWEEP_TABLE.json"), "w") as f:
+        json.dump(payload, f, indent=2)
+
+    # markdown table
+    lines = [
+        "# Accuracy/time sweep vs reference "
+        "(run_solver_comparison.m twin, + n=300)",
+        "",
+        "Newton iterations/s; speedups are TPU vs single-core reference "
+        "at the same iteration count.  TPU f64 rows additionally show the "
+        "achieved max relative duality gap at mu target 6.25e-10.",
+        "",
+        "| n | m | ref CPU it/s | TPU f32 it/s (B) | f32 speedup | "
+        "TPU f64 it/s (B) | f64 speedup | f64 max rel gap |",
+        "|---|---|---|---|---|---|---|---|",
+    ]
+    for r in rows:
+        t32, t64 = r["tpu_f32"], r["tpu_f64"]
+        lines.append(
+            f"| {r['n']} | {r['m']} | {r['ref_cpu_iters_per_sec']} "
+            f"| {t32['iters_per_sec']} (B={t32['B']}) "
+            f"| {r.get('f32_speedup', '-')}x "
+            f"| {t64['iters_per_sec']} (B={t64['B']}) "
+            f"| {r.get('f64_speedup', '-')}x "
+            f"| {t64['max_rel_gap']} ({t64['solved']} solved) |"
+        )
+    with open(os.path.join(root, "SWEEP_TABLE.md"), "w") as f:
+        f.write("\n".join(lines) + "\n")
+    print(json.dumps({"rows": len(rows), "ok": True}))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
