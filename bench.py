@@ -21,8 +21,11 @@ same per-iteration FLOPs as a mu-decreasing step.  History of this number:
 r01 (19,326 it/s) ran without fixed-iteration mode and exited early when
 scenarios' factorizations failed (~16 iters); r02 (12,264 it/s) spun to
 ~25 iterations but every scenario's Cholesky had already failed by ~16 —
-both invalid.  r03 is the first measurement where all B scenarios run 30
-genuine factorable iterations.
+both invalid; r03 crashed at trace time (PSDState refactor).  r04 is the
+first VALID measurement (all B scenarios complete 30 factorable
+iterations): 24,284 it/s at the r03 design, then 34,147 it/s after the
+operator-prep hoist and bf16 operand copies (PRECISION.md: XLA's "f32"
+matmuls were bf16-truncated all along, so the copies cost no accuracy).
 """
 
 import json

@@ -178,7 +178,11 @@ class DenseLMICone:
             and dtype == jnp.float32
             and mm.get_mode() == "default"
             and total <= 14 * 2**20
-            and self.n >= 8
+            # n >= 48: small-n instances crash a Mosaic layout assertion
+            # (llvm::has_single_bit(bitwidth_) in layout.h) when the
+            # kernel compiles under vmap, and the einsum path is fast at
+            # those sizes anyway (observed at n=20, B=64 on-chip).
+            and self.n >= 48
         )
 
     def _extreme_eigs(self, WS, state: PSDState):
