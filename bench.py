@@ -29,6 +29,7 @@ matmuls were bf16-truncated all along, so the copies cost no accuracy).
 """
 
 import json
+import os
 import sys
 import time
 
@@ -53,6 +54,16 @@ def main():
         sys.argv = sys.argv[:1] + sys.argv[2:]
         return mod.main()
     import jax
+
+    # Persistent compilation cache: the remote TPU compile service can be
+    # wedged by unrelated Mosaic crashes for up to hours; with the disk
+    # cache populated (any earlier bench run, same program), this run
+    # deserializes the executable and never needs the compiler.
+    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             ".jax_cache")
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
     import jax.numpy as jnp
 
     from conex_tpu.config import SolverConfig

@@ -85,15 +85,21 @@ def tpu_f32(n, m, B, iters=30):
     from conex_tpu.config import SolverConfig
 
     A, C, b = _workload(B, n, m, np.float32)
-    cfg = SolverConfig(max_iterations=iters, final_centering_steps=0,
-                       inv_sqrt_mu_max=1e15, fixed_iterations=True,
-                       inv_sqrt_mu_cap_scaled=100.0)
-    r, best = _solve(A, C, b, cfg)
-    it = np.asarray(r.num_iterations)
-    fails = int(np.asarray(r.fail).sum())
-    if fails or not (it == iters).all():
-        return None
-    return dict(iters_per_sec=round(int(it.sum()) / best, 1), B=B)
+    # default (bf16) matmul mode first; tiny shapes whose Schur loses
+    # positive-definiteness under bf16 noise retry with the x3 split
+    # ladder (PRECISION.md), recorded in the row.
+    for mode in ("default", "x3"):
+        cfg = SolverConfig(max_iterations=iters, final_centering_steps=0,
+                           inv_sqrt_mu_max=1e15, fixed_iterations=True,
+                           inv_sqrt_mu_cap_scaled=100.0,
+                           schur_precision=mode)
+        r, best = _solve(A, C, b, cfg)
+        it = np.asarray(r.num_iterations)
+        fails = int(np.asarray(r.fail).sum())
+        if not fails and (it == iters).all():
+            return dict(iters_per_sec=round(int(it.sum()) / best, 1), B=B,
+                        mode=mode)
+    return None
 
 
 def tpu_f64(n, m, B):
@@ -121,6 +127,10 @@ def tpu_f64(n, m, B):
 
 
 def main():
+    # The fused Pallas kernel is only hardware-validated under vmap in the
+    # n~100 regime; unvalidated shapes can crash (and wedge) the remote
+    # Mosaic compiler, so the sweep uses the einsum path throughout.
+    os.environ["CONEX_TPU_DISABLE_FUSED_SCHUR"] = "1"
     import jax
 
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))

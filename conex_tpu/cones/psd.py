@@ -173,16 +173,22 @@ class DenseLMICone:
         m_p = _round_up(self.num_vars, 8)
         block_bytes = n_p * m_p * n_p * 4
         total = 3 * block_bytes + n_p * m_p * m_p * 4 + 3 * n_p * n_p * 4
+        import os
+
         return (
             _jax.default_backend() == "tpu"
             and dtype == jnp.float32
             and mm.get_mode() == "default"
             and total <= 14 * 2**20
-            # n >= 48: small-n instances crash a Mosaic layout assertion
-            # (llvm::has_single_bit(bitwidth_) in layout.h) when the
-            # kernel compiles under vmap, and the einsum path is fast at
-            # those sizes anyway (observed at n=20, B=64 on-chip).
-            and self.n >= 48
+            # 96 <= n: smaller instances (n=20 and n=50 observed, B=64,
+            # under vmap) crash a Mosaic layout assertion
+            # (llvm::has_single_bit(bitwidth_) in layout.h) in the REMOTE
+            # compiler — which then wedges the whole compile service.
+            # Only the n~100 regime is hardware-validated under vmap
+            # (PALLAS_TPU_VALIDATION.json + the headline bench); the
+            # einsum path is fast at small n anyway.
+            and self.n >= 96
+            and not os.environ.get("CONEX_TPU_DISABLE_FUSED_SCHUR")
         )
 
     def _extreme_eigs(self, WS, state: PSDState):
