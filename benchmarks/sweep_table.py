@@ -106,24 +106,32 @@ def tpu_f64(n, m, B):
     from conex_tpu.config import SolverConfig
 
     A, C, b = _workload(B, n, m, np.float64)
-    cfg = SolverConfig(max_iterations=120, inv_sqrt_mu_max=4e4,
+    # inv_sqrt_mu_max caps the SCALED k (reference semantics,
+    # cone_program.cc:343-357): larger instances rescale harder, so the
+    # target grows with n to keep the *unscaled* gap in the same class.
+    kmax = 4e4 if n < 300 else 1e6
+    iters = 120 if n < 300 else 250
+    cfg = SolverConfig(max_iterations=iters, inv_sqrt_mu_max=kmax,
                        prepare_dual_variables=True)
     r, best = _solve(A, C, b, cfg)
     it = np.asarray(r.num_iterations)
-    solved = int(np.asarray(r.solved).sum())
+    ok = np.asarray(r.solved)
+    solved = int(ok.sum())
     X = np.asarray(r.ws[0].w)
     k = np.asarray(r.k)
     bsc = np.asarray(r.b_scaling)
     ys = np.asarray(r.y)
     gaps = []
     for s in range(B):
+        if not ok[s]:
+            continue  # gap undefined for unsolved scenarios
         Xs = X[s, 0] / (k[s] * bsc[s])
         by = b[s] @ ys[s]
         cx = np.sum(np.asarray(C[s, 0]) * Xs)
         gaps.append(abs(cx - by) / (1 + abs(by)))
     return dict(iters_per_sec=round(int(it.sum()) / best, 1), B=B,
                 solved=f"{solved}/{B}",
-                max_rel_gap=float(f"{max(gaps):.2e}"))
+                max_rel_gap=float(f"{max(gaps):.2e}") if gaps else None)
 
 
 def main():
@@ -133,20 +141,45 @@ def main():
     os.environ["CONEX_TPU_DISABLE_FUSED_SCHUR"] = "1"
     import jax
 
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), ".jax_cache"),
+    )
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
+
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     with open(os.path.join(root, "baseline/REFERENCE_SWEEP.json")) as f:
         ref = json.load(f)
 
     jax.config.update("jax_enable_x64", True)
+    only = None
+    if len(sys.argv) > 1:
+        only = {tuple(int(x) for x in a.split(",")) for a in sys.argv[1:]}
+    # merge with any existing rows when filtering
+    prior = {}
+    out_path = os.path.join(root, "SWEEP_TABLE.json")
+    if only and os.path.exists(out_path):
+        with open(out_path) as f:
+            for r in json.load(f)["rows"]:
+                prior[(r["n"], r["m"])] = r
     rows = []
     for n, m in SHAPES:
+        if only is not None and (n, m) not in only:
+            if (n, m) in prior:
+                rows.append(prior[(n, m)])
+            continue
         key = f"n{n}_m{m}"
         r = ref.get(key)
         ref_ips = r["iters_per_sec"] if r else None
         # per-shape batch sizes bounded by HBM (A is B*m*n^2 f32 + copies)
+        # The einsum Schur path materializes the (B, m, n, n) panel P in
+        # HBM alongside A and its bf16 copies (~5x A bytes total); 15.75G
+        # HBM => keep the f32 working set under ~3G and f64 under ~2G.
         bytes_per = m * n * n * 4
-        B_f32 = max(1, min(64, int(2e9 // max(bytes_per, 1))))
-        B_f64 = max(1, min(8, int(1e9 // max(2 * bytes_per, 1))))
+        B_f32 = max(1, min(64, int(6e8 // max(bytes_per, 1))))
+        B_f64 = max(1, min(8, int(25e7 // max(bytes_per, 1))))
         log(f"shape n={n} m={m}: ref={ref_ips} it/s, B_f32={B_f32}, "
             f"B_f64={B_f64}")
         t32 = tpu_f32(n, m, B_f32)
@@ -191,13 +224,15 @@ def main():
     ]
     for r in rows:
         t32, t64 = r["tpu_f32"], r["tpu_f64"]
+        c32 = (f"{t32['iters_per_sec']} (B={t32['B']}, {t32['mode']})"
+               if t32 else "invalid")
+        c64 = (f"{t64['iters_per_sec']} (B={t64['B']})" if t64 else "-")
+        g64 = (f"{t64['max_rel_gap']} ({t64['solved']} solved)"
+               if t64 else "-")
         lines.append(
             f"| {r['n']} | {r['m']} | {r['ref_cpu_iters_per_sec']} "
-            f"| {t32['iters_per_sec']} (B={t32['B']}) "
-            f"| {r.get('f32_speedup', '-')}x "
-            f"| {t64['iters_per_sec']} (B={t64['B']}) "
-            f"| {r.get('f64_speedup', '-')}x "
-            f"| {t64['max_rel_gap']} ({t64['solved']} solved) |"
+            f"| {c32} | {r.get('f32_speedup', '-')}x "
+            f"| {c64} | {r.get('f64_speedup', '-')}x | {g64} |"
         )
     with open(os.path.join(root, "SWEEP_TABLE.md"), "w") as f:
         f.write("\n".join(lines) + "\n")
