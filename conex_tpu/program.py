@@ -81,6 +81,18 @@ class Program:
 
     def __init__(self, num_vars: int, dtype=jnp.float64):
         self.num_vars = int(num_vars)
+        # Guard a silent footgun: without jax_enable_x64, JAX truncates
+        # requested float64 arrays to float32 with only a UserWarning —
+        # which here would silently change the solver's accuracy class.
+        if (jnp.dtype(dtype) == jnp.float64
+                and not jax.config.read("jax_enable_x64")):
+            raise ValueError(
+                "Program(dtype=float64) requires jax_enable_x64 "
+                '(jax.config.update("jax_enable_x64", True) before any '
+                "jax usage), otherwise JAX silently truncates to "
+                "float32.  Pass dtype=jnp.float32 explicitly for an f32 "
+                "solve (see PRECISION.md for the precision modes)."
+            )
         self.dtype = dtype
         self._blocks: List = []
         self._eq_blocks: List[EqualityBlock] = []
