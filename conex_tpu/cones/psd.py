@@ -113,7 +113,15 @@ class DenseLMICone:
         entering the Newton loop): the fused kernel's padded transposed
         operator block and, in default (bf16) matmul mode, bf16 copies
         that halve the hot loop's A-traffic at unchanged precision."""
-        lo = mm.get_mode() == "default" and self.A.dtype == jnp.float32
+        # TPU only: XLA's default f32 matmul truncates operands to bf16
+        # there, so the narrow copy is free; on CPU/GPU default-precision
+        # f32 einsum is genuine f32 and the copy would silently regress
+        # the slack computation to bf16.
+        lo = (
+            mm.get_mode() == "default"
+            and self.A.dtype == jnp.float32
+            and jax.default_backend() == "tpu"
+        )
         new = self
         if self.At is None and self._use_fused_schur(self.A.dtype):
             from .psd_pallas import prepare_operator
@@ -169,10 +177,18 @@ class DenseLMICone:
         from ..algebra import mm
         from .psd_pallas import _round_up
 
+        # Budget with the dtypes/padding the kernel actually uses: in
+        # default f32 mode prepare_operator stores At in bf16 with m
+        # padded to 16 (lo path); Pb/Rb/G3 and the w/C/CW temporaries are
+        # always f32.
+        lo = mm.get_mode() == "default" and dtype == jnp.float32
         n_p = _round_up(self.n, 128)
-        m_p = _round_up(self.num_vars, 8)
-        block_bytes = n_p * m_p * n_p * 4
-        total = 3 * block_bytes + n_p * m_p * m_p * 4 + 3 * n_p * n_p * 4
+        m_p = _round_up(self.num_vars, 16 if lo else 8)
+        at_bytes = n_p * m_p * n_p * (2 if lo else 4)
+        panel_bytes = 2 * n_p * m_p * n_p * 4  # Pb + Rb, f32
+        total = (
+            at_bytes + panel_bytes + n_p * m_p * m_p * 4 + 3 * n_p * n_p * 4
+        )
         import os
 
         return (

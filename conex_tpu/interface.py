@@ -137,6 +137,19 @@ class _StagedConstraint:
         return True
 
     def update_affine_term(self, value, row, col, dim):
+        if self.kind == "qcost":
+            # reference: QuadraticFunction UpdateAffineTerm writes the cost
+            # matrix entry directly (quadratic_cost.cc:33-39); the C API's
+            # CONEX_UpdateQuadraticCostMatrix routes here with dim=0
+            # (interfaces/conex.cc:356-363).
+            if dim != 0:
+                raise ValueError("Quadratic cost must be real valued matrix.")
+            if row >= self.order or col >= self.order:
+                raise ValueError("Index out of bounds")
+            if self.A is None:
+                self.A = np.zeros((self.order, self.order))
+            self.A[row, col] = value
+            return True
         if self.kind == "lmi":
             if dim >= self.d:
                 raise ValueError("hypercomplex dimension out of bounds")
@@ -292,6 +305,22 @@ class Conex:
         self.num_constraints += 1
         return len(self._direct) - 1
 
+    def NewQuadraticCost(self):
+        # reference: CONEX_NewQuadraticCost (interfaces/conex.cc:331-341) —
+        # registers an all-zero m x m cost filled in afterwards via
+        # CONEX_UpdateQuadraticCostMatrix (-> UpdateAffineTerm).
+        if self.m < 0:
+            raise ValueError("Set the number of variables first.")
+        sc = _StagedConstraint("qcost", self.m)
+        self._staged.append(sc)
+        self._direct.append(("staged", (sc, None, None)))
+        self.num_constraints += 1
+        return len(self._direct) - 1
+
+    def UpdateQuadraticCostMatrix(self, constraint, value, row, col):
+        # reference: interfaces/conex.cc:356-363.
+        return self.UpdateAffineTerm(constraint, value, row, col, 0)
+
     def UpdateLinearOperator(self, constraint, value, variable, row, col=0,
                              hyper_complex_dim=0):
         """Update one operator entry.  Cheap when a Program is already
@@ -373,6 +402,12 @@ class Conex:
                     if c is None:
                         c = np.zeros(sc.num_rows)
                     idx = prog.add_linear_constraint(A, c)
+                elif sc.kind == "qcost":
+                    Q = A if A is not None else np.zeros((sc.order, sc.order))
+                    # Entry updates may fill only one triangle; the cost
+                    # form 1/2 y'Qy only sees the symmetric part.
+                    prog.add_quadratic_cost(0.5 * (Q + Q.T))
+                    continue  # costs have no dual variable / block index
                 self._block_map[ci] = idx
             elif kind == "linear":
                 self._block_map[ci] = prog.add_linear_constraint(a1, a2, variables=vars_)

@@ -23,6 +23,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
+from ..algebra import mm
 from ..config import KKT_SOLVER_LDLT, KKT_SOLVER_LLT, KKT_SOLVER_QR
 
 # Pivot clamp magnitude (reference RLDLT.h:261-263, 310-318).
@@ -32,8 +33,12 @@ LDLT_PIVOT_CLAMP = 1e-9
 class KKTFactor(NamedTuple):
     """Factored KKT matrix.  ``mode`` is static (baked into the trace)."""
 
-    matrix: jnp.ndarray  # densified KKT matrix (kept for refinement / QR)
-    factor: jnp.ndarray  # Cholesky L, or unit-L with d on the diagonal (LDLT)
+    matrix: jnp.ndarray  # densified KKT matrix (kept for refinement)
+    # Cholesky L, unit-L with d on the diagonal (LDLT), or the (Q, R) pair
+    # for QR mode — factored ONCE here so the 3+ solves per line-search
+    # iteration reuse it (reference factors once too, kkt_solver.cc:174-177,
+    # 227-231).
+    factor: jnp.ndarray
     fail: jnp.ndarray  # scalar bool: factorization failed
 
 
@@ -151,8 +156,12 @@ def _ldlt_clamped(K, panel: int = LDLT_PANEL):
         colnew = jnp.where(below_mask, L21, colnew)
         M = jax.lax.dynamic_update_slice(M, colnew, (0, j0))
         # MXU trailing update.  L21 vanishes on rows < j0 + P, so this
-        # touches only the trailing square.
-        M = M - (L21 * d[None, :]) @ L21.T
+        # touches only the trailing square.  Routed through the active
+        # split-precision mode (algebra/mm.py): on TPU a default f32
+        # matmul truncates operands to bf16, which would make the blocked
+        # factor the precision bottleneck under schur_precision x3/x6 —
+        # the ladder keeps the factor at the configured precision.
+        M = M - mm.matmul(L21 * d[None, :], L21.T)
         return M
 
     M = jax.lax.fori_loop(0, nb, body, Kp)
@@ -189,6 +198,15 @@ def factor(K: jnp.ndarray, mode: int, structure=None,
     robustness at negligible cost even with emulated f64 on TPU
     (SolverConfig.kkt_island_dtype)."""
     if island_dtype is not None and structure is None:
+        if (jnp.dtype(island_dtype) == jnp.dtype("float64")
+                and not jax.config.jax_enable_x64):
+            # Without x64, astype(float64) silently canonicalizes to f32
+            # and the configured precision island would be absent.
+            raise ValueError(
+                "kkt_island_dtype='float64' requires jax_enable_x64; "
+                "enable it (jax.config.update('jax_enable_x64', True)) "
+                "before solving"
+            )
         K = K.astype(island_dtype)
     if structure is not None and mode in (KKT_SOLVER_LLT, KKT_SOLVER_LDLT):
         from ..supernodal.compressed import CompressedSupernodalStructure
@@ -236,7 +254,7 @@ def factor(K: jnp.ndarray, mode: int, structure=None,
     elif mode == KKT_SOLVER_LDLT:
         L, fail = _ldlt_clamped(K)
     elif mode == KKT_SOLVER_QR:
-        L, fail = K, jnp.asarray(False)
+        L, fail = jnp.linalg.qr(K), jnp.asarray(False)
     else:
         raise ValueError(f"unknown kkt solver mode {mode}")
     return KKTFactor(matrix=K, factor=L, fail=fail)
@@ -257,10 +275,11 @@ def _solve_ldlt(M, b):
     return jax.scipy.linalg.solve_triangular(L.T, y, lower=False, unit_diagonal=True)
 
 
-def _solve_qr(K, b):
-    # Least-squares solve for rank-deficient KKT systems
-    # (reference kkt_solver.cc:174-177, 227-231).
-    q, r = jnp.linalg.qr(K)
+def _solve_qr(qr, b):
+    # Least-squares solve for rank-deficient KKT systems, reusing the
+    # decomposition computed in factor() (reference kkt_solver.cc:174-177,
+    # 227-231: one QR per Factor, reused across line-search solves).
+    q, r = qr
     return jax.scipy.linalg.solve_triangular(r, q.T @ b, lower=False)
 
 
@@ -272,8 +291,8 @@ def solve(f: KKTFactor, b: jnp.ndarray, mode: int, refinement_steps: int = 0,
     """
 
     out_dtype = b.dtype
-    if structure is None and f.factor.dtype != b.dtype:
-        b = b.astype(f.factor.dtype)
+    if structure is None and f.matrix.dtype != b.dtype:
+        b = b.astype(f.matrix.dtype)
 
     def base_solve(rhs):
         if structure is not None and mode in (KKT_SOLVER_LLT, KKT_SOLVER_LDLT):
@@ -314,7 +333,7 @@ def solve(f: KKTFactor, b: jnp.ndarray, mode: int, refinement_steps: int = 0,
             return _solve_llt(f.factor, rhs)
         if mode == KKT_SOLVER_LDLT:
             return _solve_ldlt(f.factor, rhs)
-        return _solve_qr(f.matrix, rhs)
+        return _solve_qr(f.factor, rhs)
 
     def residual_matvec(x):
         if structure is not None:

@@ -160,6 +160,81 @@ int CONEX_AddDenseLMIConstraint(void* prog, const double* Aarray, int Ar,
   return id;
 }
 
+int CONEX_AddLinearInequalities(void* prog, const double* A, int Ar, int Ac,
+                                const double* lb, int num_lb,
+                                const double* ub, int num_ub) {
+  if (Ar != num_lb || Ar != num_ub) return CONEX_FAILURE;
+  PyGILState_STATE st = PyGILState_Ensure();
+  PyObject* Aa = np_matrix_colmajor(A, Ar, Ac);
+  PyObject* lba = np_vector(lb, num_lb);
+  PyObject* uba = np_vector(ub, num_ub);
+  PyObject* r = NULL;
+  if (Aa && lba && uba)
+    r = PyObject_CallMethod((PyObject*)prog, "AddLinearInequalities", "OOO",
+                            Aa, lba, uba);
+  Py_XDECREF(Aa);
+  Py_XDECREF(lba);
+  Py_XDECREF(uba);
+  if (!r) return fail(st);
+  Py_DECREF(r);
+  PyGILState_Release(st);
+  /* reference returns a placeholder id (interfaces/conex.cc:213-214). */
+  return -1;
+}
+
+int CONEX_AddQuadraticCost(void* prog, const double* A, int Ar, int Ac) {
+  PyGILState_STATE st = PyGILState_Ensure();
+  PyObject* Aa = np_matrix_colmajor(A, Ar, Ac);
+  PyObject* r = NULL;
+  if (Aa)
+    r = PyObject_CallMethod((PyObject*)prog, "AddQuadraticCost", "O", Aa);
+  Py_XDECREF(Aa);
+  if (!r) return fail(st);
+  Py_DECREF(r);
+  PyGILState_Release(st);
+  return CONEX_SUCCESS;
+}
+
+int CONEX_AddSparseLMIConstraint(void* prog, const double* Aarray, int Ar,
+                                 int Ac, int m, const double* cmat, int cr,
+                                 int cc, const long* vars, int vars_c) {
+  if (vars_c != m) return CONEX_FAILURE;
+  PyGILState_STATE st = PyGILState_Ensure();
+  PyObject *np = PyImport_ImportModule("numpy"), *r = NULL, *stack = NULL;
+  if (np) {
+    PyObject* list = PyList_New(m);
+    int ok = list != NULL;
+    for (int i = 0; ok && i < m; i++) {
+      PyObject* Ai =
+          np_matrix_colmajor(Aarray + (Py_ssize_t)i * Ar * Ac, Ar, Ac);
+      if (!Ai) ok = 0;
+      else PyList_SET_ITEM(list, i, Ai); /* steals */
+    }
+    if (ok) stack = PyObject_CallMethod(np, "stack", "O", list);
+    Py_XDECREF(list);
+  }
+  PyObject* Ca = np_matrix_colmajor(cmat, cr, cc);
+  PyObject* vlist = PyList_New(vars_c);
+  if (vlist) {
+    for (int i = 0; i < vars_c; i++)
+      PyList_SET_ITEM(vlist, i, PyLong_FromLong(vars[i]));
+  }
+  if (stack && Ca && vlist)
+    r = PyObject_CallMethod((PyObject*)prog, "AddSparseLMIConstraint", "OOO",
+                            stack, Ca, vlist);
+  Py_XDECREF(np);
+  Py_XDECREF(stack);
+  Py_XDECREF(Ca);
+  Py_XDECREF(vlist);
+  if (!r) return fail(st);
+  Py_DECREF(r);
+  PyObject* nc = PyObject_GetAttrString((PyObject*)prog, "num_constraints");
+  int id = nc ? (int)PyLong_AsLong(nc) - 1 : -1;
+  Py_XDECREF(nc);
+  PyGILState_Release(st);
+  return id;
+}
+
 static PyObject* config_to_py(const CONEX_SolverConfiguration* c) {
   PyObject* mod = PyImport_ImportModule("conex_tpu");
   if (!mod) return NULL;
@@ -254,6 +329,43 @@ int CONEX_Maximize(void* prog, const double* b, int br,
     }
     Py_DECREF(yo);
   }
+  Py_DECREF(sol);
+  if (PyErr_Occurred()) return fail(st);
+  PyGILState_Release(st);
+  return solved;
+}
+
+/* Extract y + solved status from a Solution object; returns solved. */
+static int read_solution(PyObject* sol, double* y, int yr) {
+  int solved = 0;
+  PyObject* status = PyObject_GetAttrString(sol, "status");
+  if (status) {
+    solved = PyObject_IsTrue(status);
+    Py_DECREF(status);
+  }
+  PyObject* yo = PyObject_GetAttrString(sol, "y");
+  if (yo) {
+    for (int i = 0; i < yr; i++) {
+      PyObject* yi = PySequence_GetItem(yo, i);
+      if (yi) {
+        y[i] = PyFloat_AsDouble(yi);
+        Py_DECREF(yi);
+      }
+    }
+    Py_DECREF(yo);
+  }
+  return solved;
+}
+
+int CONEX_Solve(void* prog, const CONEX_SolverConfiguration* config,
+                double* y, int yr) {
+  PyGILState_STATE st = PyGILState_Ensure();
+  PyObject* cfg = config_to_py(config);
+  PyObject* sol = NULL;
+  if (cfg) sol = PyObject_CallMethod((PyObject*)prog, "Solve", "O", cfg);
+  Py_XDECREF(cfg);
+  if (!sol) return fail(st);
+  int solved = read_solution(sol, y, yr);
   Py_DECREF(sol);
   if (PyErr_Occurred()) return fail(st);
   PyGILState_Release(st);
@@ -367,6 +479,30 @@ CONEX_STATUS CONEX_UpdateLinearOperator(void* prog, int constraint,
       PyObject_CallMethod((PyObject*)prog, "UpdateLinearOperator", "idiiii",
                           constraint, value, variable, row, col,
                           hyper_complex_dim);
+  if (!r) return fail(st);
+  Py_DECREF(r);
+  PyGILState_Release(st);
+  return CONEX_SUCCESS;
+}
+
+CONEX_STATUS CONEX_NewQuadraticCost(void* prog, int* constraint_id) {
+  if (!constraint_id) return CONEX_FAILURE;
+  PyGILState_STATE st = PyGILState_Ensure();
+  PyObject* r = PyObject_CallMethod((PyObject*)prog, "NewQuadraticCost", NULL);
+  if (!r) return fail(st);
+  *constraint_id = (int)PyLong_AsLong(r);
+  Py_DECREF(r);
+  if (PyErr_Occurred()) return fail(st);
+  PyGILState_Release(st);
+  return CONEX_SUCCESS;
+}
+
+CONEX_STATUS CONEX_UpdateQuadraticCostMatrix(void* prog, int constraint_id,
+                                             double value, int row, int col) {
+  PyGILState_STATE st = PyGILState_Ensure();
+  PyObject* r =
+      PyObject_CallMethod((PyObject*)prog, "UpdateQuadraticCostMatrix",
+                          "idii", constraint_id, value, row, col);
   if (!r) return fail(st);
   Py_DECREF(r);
   PyGILState_Release(st);

@@ -45,17 +45,13 @@ def test_modes_trace_and_solve_f64(mode):
     )
 
 
-def test_x6_with_f64_island_rescues_f32():
-    """An f32 instance that plain f32 cannot drive to mu=1e-6 solves under
-    x6 Schur products + the f64 KKT island (the mixed-precision operating
-    point of PRECISION.md)."""
+def test_x6_with_f64_island_solves_f32():
+    """The mixed-precision operating point (x6 Schur products + f64 KKT
+    island, PRECISION.md) solves f32 instances.  On TPU this is the
+    configuration that rescues instances bf16-truncated plain f32 cannot
+    drive to mu=1e-6; on CPU plain f32 is genuine f32 (see
+    test_no_bf16_copy_off_tpu) so both paths solve here."""
     A, C, b = _sdp(12, 6, 42, np.float32)
-
-    plain = Program(6, dtype=np.float32)
-    plain.add_lmi_constraint(A, C)
-    r_plain = plain.solve(
-        b, SolverConfig(max_iterations=60, inv_sqrt_mu_max=1000.0)
-    )
 
     mixed = Program(6, dtype=np.float32)
     mixed.add_lmi_constraint(A, C)
@@ -64,9 +60,26 @@ def test_x6_with_f64_island_rescues_f32():
         SolverConfig(max_iterations=60, inv_sqrt_mu_max=1000.0,
                      schur_precision="x6", kkt_island_dtype="float64"),
     )
-    assert not r_plain.solved  # pinned: plain f32 fails on this instance
     assert r_mixed.solved
     assert np.all(np.isfinite(np.asarray(r_mixed.y)))
+
+
+def test_no_bf16_copy_off_tpu():
+    """prepare() must not create the bf16 operand copy off-TPU: XLA only
+    truncates f32 matmul operands to bf16 on TPU, so on CPU/GPU the copy
+    would silently regress genuine-f32 slack products to bf16."""
+    from conex_tpu.algebra import mm
+    from conex_tpu.cones.psd import DenseLMICone
+
+    A = jnp.zeros((1, 2, 4, 4), jnp.float32)
+    C = jnp.zeros((1, 4, 4), jnp.float32)
+    blk = DenseLMICone(A=A, C=C)
+    with mm.mode("default"):
+        prepared = blk.prepare()
+    if jax.default_backend() == "tpu":
+        assert prepared.A_lo is not None
+    else:
+        assert prepared.A_lo is None
 
 
 def test_island_solution_matches_f64_reference():
