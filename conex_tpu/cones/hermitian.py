@@ -28,8 +28,38 @@ from ..algebra import sym
 from .base import SchurOut, SlackStats
 
 
+class HermState(NamedTuple):
+    """Hermitian cone state for d <= 4: the iterate plus warm eigenvector
+    seeds on the real representation R(WS) (dn x dn), mirroring PSDState
+    (psd.py:29-53).  Carrying the seeds turns the per-iteration spectral
+    estimation into ~16 warm power-iteration matvecs on R(WS) instead of
+    the ~28 cold batched matmuls of the squaring estimator — on a matrix
+    d times larger than the algebra order, this dominates the hermitian
+    hot path.  lam == 0 is the cold-start sentinel.  Octonions (d = 8)
+    never compute spectra (heuristic norms, hermitian_psd.cc:147-168) and
+    keep a bare-array state."""
+
+    w: jnp.ndarray  # (B, d, n, n)
+    vhi: jnp.ndarray  # (B, dn) right eigenvector seed, max end
+    uhi: jnp.ndarray  # (B, dn) left eigenvector seed, max end
+    vlo: jnp.ndarray  # (B, dn)
+    ulo: jnp.ndarray  # (B, dn)
+    lam: jnp.ndarray  # (B, 2) previous (lo, hi) estimates; zeros = cold
+
+
+def make_herm_state(w) -> HermState:
+    """Build a HermState around an iterate array of shape (B, d, n, n)."""
+    B = w.shape[0]
+    dn = w.shape[1] * w.shape[-1]
+    ones = jnp.full((B, dn), 1.0 / (dn ** 0.5), w.dtype)
+    lam = jnp.zeros((B, 2), w.dtype)
+    return HermState(w=w, vhi=ones, uhi=ones, vlo=ones, ulo=ones, lam=lam)
+
+
 class HermStepCache(NamedTuple):
     WS: jnp.ndarray  # (B, d, n, n): W * minus_s (d<=4) or minus_s (d=8)
+    seeds: tuple = ()  # updated (vhi, uhi, vlo, ulo) for d <= 4
+    lam: Optional[jnp.ndarray] = None  # (B, 2) updated estimates
 
 
 @jax.tree_util.register_dataclass
@@ -70,9 +100,15 @@ class HermitianCone:
         # reference: hermitian_psd.h:57 (rank = matrix order n)
         return self.n * self.batch
 
-    def identity_state(self, dtype) -> jnp.ndarray:
+    def identity_state(self, dtype):
         e = jnp.zeros((self.batch, self.d, self.n, self.n), dtype=dtype)
-        return e.at[:, 0].set(jnp.eye(self.n, dtype=dtype))
+        e = e.at[:, 0].set(jnp.eye(self.n, dtype=dtype))
+        if self.octonion:
+            return e
+        return make_herm_state(e)
+
+    def _w(self, state):
+        return state if self.octonion else state.w
 
     def _minus_s(self, y, k):
         # reference: ComputeNegativeSlack (hermitian_psd.h:104-109)
@@ -85,8 +121,9 @@ class HermitianCone:
             return hc.quadratic_representation(w, x)
         return hc.multiply(w, hc.multiply(x, w))
 
-    def schur(self, w: jnp.ndarray) -> SchurOut:
+    def schur(self, state) -> SchurOut:
         # reference: ConstructSchurComplementSystem (hermitian_psd.cc:170-230)
+        w = self._w(state)
         WAW = jax.vmap(self._waw, in_axes=(None, 1), out_axes=1)(w, self.A)
         G = jnp.einsum("budij,bvdij->uv", self.A, WAW)
         AW = jnp.einsum("bvdij,bdij->v", self.A, w)
@@ -100,17 +137,31 @@ class HermitianCone:
             c_dot_Qc=jnp.einsum("bdij,bdij->", self.C, WCW),
         )
 
-    def _extreme_eigs(self, WS):
-        """(lo, hi) spectrum extremes of WS via the real representation.
+    def _extreme_eigs(self, WS, state: HermState):
+        """(lo, hi, seeds, lam) spectrum extremes of WS via the real
+        representation R(WS) (eigenvalues appear with multiplicity d).
 
         The reference uses hypercomplex Lanczos with a random seed and
-        n/2 + 1 iterations (hermitian_psd.cc:59); the squaring estimator on
-        R(WS) is deterministic and exact for separated extremes.
-        """
+        n/2 + 1 iterations (hermitian_psd.cc:59); here the cold squaring
+        estimator runs only when the carried lam == 0 sentinel says so, and
+        every later iteration warm-starts power iteration from the carried
+        eigenvector seeds — the same warm-seed design as the real PSD cone
+        (psd.py::PSDState)."""
         R = hc.real_representation(WS)
-        return sym.extreme_eigenvalues(R)
+        is_cold = jnp.max(jnp.abs(state.lam)) == 0.0
 
-    def prepare_step(self, w, y, c_weight, e_weight):
+        def cold(_):
+            return sym.extreme_eigenvalues_seeded(R)
+
+        def warm(_):
+            return sym.extreme_eigenvalues_warm(
+                R, state.vhi, state.uhi, state.vlo, state.ulo, state.lam
+            )
+
+        return jax.lax.cond(is_cold, cold, warm, None)
+
+    def prepare_step(self, state, y, c_weight, e_weight):
+        w = self._w(state)
         minus_s = self._minus_s(y, c_weight)
         if self.octonion:
             # reference: PrepareStep<Octonions> (hermitian_psd.cc:130-145)
@@ -125,7 +176,7 @@ class HermitianCone:
 
         # reference: PrepareStep<T> (hermitian_psd.cc:33-71)
         WS = hc.multiply(w, minus_s)
-        lo, hi = self._extreme_eigs(WS)
+        lo, hi, seeds, lam = self._extreme_eigs(WS, state)
         norminf = jnp.max(
             jnp.maximum(jnp.abs(e_weight + lo), jnp.abs(e_weight + hi))
         )
@@ -135,29 +186,36 @@ class HermitianCone:
             + 2.0 * jnp.einsum("bii->", WS[:, 0])
             + self.rank()
         )
-        return HermStepCache(WS=WS), norminf, normsq
+        return HermStepCache(WS=WS, seeds=seeds, lam=lam), norminf, normsq
 
-    def take_step(self, w, cache: HermStepCache, step_size):
+    def take_step(self, state, cache: HermStepCache, step_size):
+        w = self._w(state)
         if self.octonion:
             # reference: TakeStep<Octonions> (hermitian_psd.cc:116-128)
             return hc.geodesic_update_scaled(w, step_size * cache.WS)
         # reference: TakeStep<T> (hermitian_psd.cc:9-31)
         d_alg = cache.WS + hc.identity(self.d, self.n, w.dtype)
         expd = hc.exponential_map(step_size * d_alg)
-        return hc.make_hermitian(hc.multiply(expd, w))
+        w_new = hc.make_hermitian(hc.multiply(expd, w))
+        vhi, uhi, vlo, ulo = cache.seeds
+        return HermState(
+            w=w_new, vhi=vhi, uhi=uhi, vlo=vlo, ulo=ulo, lam=cache.lam
+        )
 
-    def affine_step(self, w, y, e_weight):
+    def affine_step(self, state, y, e_weight):
         # reference: PrepareStep affine branch (hermitian_psd.cc:43-57);
         # octonions use the Q-representation linearization.
+        w = self._w(state)
         minus_s = self._minus_s(y, 0.0)
         if self.octonion:
             return (1.0 + e_weight) * w + hc.quadratic_representation(
                 w, minus_s
             )
         WS = hc.multiply(w, minus_s)
-        return (1.0 + e_weight) * w + hc.multiply(WS, w)
+        return state._replace(w=(1.0 + e_weight) * w + hc.multiply(WS, w))
 
-    def slack_stats(self, w, y, c_weight) -> SlackStats:
+    def slack_stats(self, state, y, c_weight) -> SlackStats:
+        w = self._w(state)
         minus_s = self._minus_s(y, c_weight)
         if self.octonion:
             # reference heuristics: GetWeightedSlackEigenvalues<Octonions>
@@ -174,7 +232,7 @@ class HermitianCone:
                 trace=-jnp.sum(tr_ws),
             )
         WS = hc.multiply(w, minus_s)
-        lo, hi = self._extreme_eigs(WS)
+        lo, hi, _, _ = self._extreme_eigs(WS, state)
         WSWS = hc.multiply(WS, WS)
         return SlackStats(
             lam_min=jnp.min(-hi),
@@ -183,5 +241,5 @@ class HermitianCone:
             trace=-jnp.einsum("bii->", WS[:, 0]),
         )
 
-    def dual_variable(self, w):
-        return w
+    def dual_variable(self, state):
+        return self._w(state)
