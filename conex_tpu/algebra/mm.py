@@ -39,7 +39,7 @@ from contextvars import ContextVar
 import jax
 import jax.numpy as jnp
 
-MODES = ("default", "x3", "x6", "highest", "float32")
+MODES = ("default", "x3", "x6", "highest", "float32", "ozaki")
 
 _mode: ContextVar[str] = ContextVar("conex_tpu_mm_mode", default="default")
 
@@ -65,6 +65,136 @@ def mode(m: str):
         _mode.reset(tok)
 
 
+# ---------------------------------------------------------------------------
+# Ozaki-scheme f64 einsum on the bf16 MXU
+# ---------------------------------------------------------------------------
+#
+# The x3/x6 ladder below bottoms out at ~2^-24 relative error: every pass
+# output passes through the MXU's f32 accumulator, and the hi*hi pass's own
+# f32 rounding is ~1 ulp of the result no matter how many splits are added.
+# To go below that floor the high passes must be EXACT, which is the Ozaki
+# error-free-transformation scheme: scale each operand by a power of two,
+# slice it into t-bit pieces aligned to absolute bit positions (so every
+# slice is an integer times 2^-qt, exactly representable in bf16 for
+# t <= 8), and bound the contraction length K so each pass's integer
+# accumulation stays below 2^24 — then every pass result is *exactly*
+# representable in f32, and the f64 combination of passes is limited only
+# by the slice coverage (~2^-48 with the defaults).  Contractions too long
+# for exactness are split by promoting contracted axes to batch axes and
+# finishing the reduction in f64.
+#
+# Cost: ~21-28 full-speed bf16 MXU passes versus ~50-100 bf16-pass
+# equivalents for XLA's emulated-f64 matmul on TPU (PRECISION.md) — the
+# engine behind SolverConfig.schur_precision="ozaki", the reference-
+# accuracy-at-speed operating point.
+
+OZAKI_MIN_BITS = 48  # slice coverage per operand (and kept pass depth)
+
+
+def _ozaki_slices(x, t: int, s: int):
+    """Split f64 ``x`` into ``s`` bf16 slices of ``t`` bits, per-tensor
+    power-of-two scaled.  Returns (slices, scale): x ~ scale * sum(slices),
+    with each slice an integer multiple of 2^-qt, |integer| <= 2^t."""
+    amax = jnp.max(jnp.abs(x))
+    e = jnp.ceil(jnp.log2(jnp.maximum(amax, 1e-300)))
+    mu = jnp.where(amax > 0, jnp.exp2(e), 1.0).astype(x.dtype)
+    r = x / mu
+    slices = []
+    for q in range(1, s + 1):
+        f = float(2.0 ** (q * t))
+        xq = jnp.round(r * f) / f
+        slices.append(xq.astype(jnp.bfloat16))
+        r = r - xq
+    return slices, mu
+
+
+def _ozaki_plan(pattern: str, x_shape, y_shape, min_bits: int):
+    """Static plan for an Ozaki einsum: (pass pattern, number of promoted
+    axes, t, s).  Contracted letters are promoted (largest first) to output
+    batch axes until the in-pass contraction K allows t >= 6."""
+    import math
+
+    a, rest = pattern.split(",")
+    b, out = rest.split("->")
+    sizes = {}
+    for term, shape in ((a, x_shape), (b, y_shape)):
+        if len(term) != len(shape):
+            raise ValueError(f"pattern {pattern!r} vs shapes {x_shape}, "
+                             f"{y_shape} (no ellipsis support)")
+        for ch, d in zip(term, shape):
+            sizes[ch] = d
+    contracted = sorted(
+        {c for c in a if c in b and c not in out},
+        key=lambda c: -sizes[c],
+    )
+    promoted = []
+    K = math.prod(sizes[c] for c in contracted) if contracted else 1
+    t = (24 - max(0, math.ceil(math.log2(max(K, 1))))) // 2
+    while t < 6 and contracted:
+        c = contracted.pop(0)  # largest remaining
+        promoted.append(c)
+        K = math.prod(sizes[c] for c in contracted) if contracted else 1
+        t = (24 - max(0, math.ceil(math.log2(max(K, 1))))) // 2
+    t = min(8, t)
+    s = max(1, -(-min_bits // t))
+    pass_pattern = f"{a},{b}->{''.join(promoted)}{out}"
+    return pass_pattern, len(promoted), t, s
+
+
+def ozaki_prepare(pattern: str, x_shape, y_shape, operand,
+                  which: str = "x", min_bits: int = OZAKI_MIN_BITS):
+    """Pre-slice a loop-invariant operand for _ozaki_einsum.
+
+    Slicing costs ~s elementwise passes over the (often large) f64
+    operand; XLA does not reliably hoist it out of a while_loop, so
+    loop-invariant operands (the LMI operator A) are sliced once up front
+    (same motivation as DenseLMICone.prepare's At).  Returns
+    (slices, mu, t, s) — valid only for the (pattern, shapes) plan it was
+    built with; _ozaki_einsum checks.
+    """
+    _, _, t, s = _ozaki_plan(pattern, x_shape, y_shape, min_bits)
+    slices, mu = _ozaki_slices(operand, t, s)
+    return (slices, mu, t, s)
+
+
+def _ozaki_einsum(pattern: str, x, y, min_bits: int = OZAKI_MIN_BITS,
+                  x_prep=None, y_prep=None):
+    """f64 two-operand einsum via exact bf16 passes (see module section
+    comment).  Output error ~ sqrt(K) * 2^-min_bits relative to the
+    operand-scale product — far below the f32-accumulator floor."""
+    pass_pattern, n_promoted, t, s = _ozaki_plan(
+        pattern, x.shape, y.shape, min_bits
+    )
+    if x_prep is not None and x_prep[2] == t and x_prep[3] == s:
+        xs, mux = x_prep[0], x_prep[1]
+    else:
+        xs, mux = _ozaki_slices(x, t, s)
+    if y_prep is not None and y_prep[2] == t and y_prep[3] == s:
+        ys, muy = y_prep[0], y_prep[1]
+    else:
+        ys, muy = _ozaki_slices(y, t, s)
+    out = None
+    for q in range(1, s + 1):
+        for r in range(1, s + 1):
+            if q + r > s + 1:
+                continue  # below the slice-coverage floor
+            p = jnp.einsum(pass_pattern, xs[q - 1], ys[r - 1],
+                           preferred_element_type=jnp.float32)
+            p = jax.lax.optimization_barrier(p).astype(x.dtype)
+            if n_promoted:
+                p = jnp.sum(p, axis=tuple(range(n_promoted)))
+            out = p if out is None else out + p
+    return out * (mux * muy)
+
+
+def _ozaki_applies(m, x, y):
+    return (
+        m == "ozaki"
+        and x.dtype == jnp.float64
+        and y.dtype == jnp.float64
+    )
+
+
 def _split2(x):
     # The barrier on hi must come BEFORE the subtraction: XLA:TPU's
     # algebraic simplifier pushes the outer bf16 convert through the
@@ -83,14 +213,21 @@ def _split3(x):
     return hi, mid, lo
 
 
-def einsum(pattern: str, x, y, mode: str | None = None):
+def einsum(pattern: str, x, y, mode: str | None = None,
+           x_prep=None, y_prep=None):
     """Two-operand einsum with the active split-precision mode.
 
-    Modes other than x3/x6 only apply when both operands are f32 (f64
-    inputs — the CPU test configuration — always use the native path).
+    x3/x6 apply when both operands are f32; "ozaki" applies when both are
+    f64 (otherwise f64 inputs use the native path).  ``x_prep``/``y_prep``:
+    optional pre-sliced operands from ozaki_prepare (ignored outside
+    ozaki mode).
     """
     m = mode if mode is not None else _mode.get()
+    if _ozaki_applies(m, x, y):
+        return _ozaki_einsum(pattern, x, y, x_prep=x_prep, y_prep=y_prep)
     f32 = x.dtype == jnp.float32 and y.dtype == jnp.float32
+    if m == "ozaki" and f32:
+        m = "x6"  # the f32-class ladder already saturates f32 operands
     if m == "default" or not f32:
         return jnp.einsum(pattern, x, y)
     if m == "highest":
@@ -129,7 +266,12 @@ def matmul(x, y, mode: str | None = None):
     """Batched matrix product (..., i, j) @ (..., j, k) with the active
     split-precision mode."""
     m = mode if mode is not None else _mode.get()
+    if _ozaki_applies(m, x, y) and x.ndim == y.ndim and x.ndim >= 2:
+        letters = "abcdefgh"[: x.ndim - 2]
+        return _ozaki_einsum(f"{letters}ij,{letters}jk->{letters}ik", x, y)
     f32 = x.dtype == jnp.float32 and y.dtype == jnp.float32
+    if m == "ozaki" and f32:
+        m = "x6"
     if m == "default" or not f32:
         return x @ y
     if m in ("highest", "float32"):

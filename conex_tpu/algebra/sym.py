@@ -132,13 +132,21 @@ def _dominant_rayleigh_vec(B, num_squarings: int):
     squaring + a two-sided Rayleigh quotient on the dominant left/right
     eigenvector estimates.  Pure matmuls — the TPU-native replacement for
     tridiagonal eigensolvers, which are branchy bisection loops that destroy
-    XLA compile and runtime inside the jitted iteration."""
+    XLA compile and runtime inside the jitted iteration.
+
+    On f64 inputs the squaring passes run in f32 (eigenvector estimates
+    only — the Rayleigh quotient below is second-order accurate in the
+    eigenvector error, so f32-quality vectors give ~1e-14-class
+    eigenvalues) while the quotient itself uses the f64 matrix.  On TPU
+    this replaces ~28 emulated-f64 matmuls with f32 ones."""
+    in_dtype = B.dtype
+    Bq = B.astype(jnp.float32) if in_dtype == jnp.float64 else B
     n = B.shape[-1]
 
     def fro(X):
         return jnp.sqrt(jnp.sum(X * X, axis=(-2, -1), keepdims=True))
 
-    X = B / jnp.maximum(fro(B), 1e-30)
+    X = Bq / jnp.maximum(fro(Bq), 1e-30)
     for _ in range(num_squarings):
         X = X @ X
         X = X / jnp.maximum(fro(X), 1e-30)
@@ -147,6 +155,8 @@ def _dominant_rayleigh_vec(B, num_squarings: int):
     v = jnp.take_along_axis(X, j[..., None, None], axis=-1)[..., 0]
     i = jnp.argmax(jnp.sum(X * X, axis=-1), axis=-1)
     u = jnp.take_along_axis(X, i[..., None, None], axis=-2)[..., 0, :]
+    u = u.astype(in_dtype)
+    v = v.astype(in_dtype)
     Bv = jnp.einsum("...ij,...j->...i", B, v)
     uv = jnp.einsum("...i,...i->...", u, v)
     vv = jnp.einsum("...i,...i->...", v, v)
@@ -190,7 +200,9 @@ def extreme_eigenvalues(M, num_squarings: int = 9):
     """
     fro = jnp.sqrt(jnp.sum(M * M, axis=(-2, -1)))[..., None, None] + 1e-30
     # Stage 1: rho(M)^2 = dominant eigenvalue of M @ M (positive spectrum).
-    rho2 = _dominant_rayleigh((M / fro) @ (M / fro), 6)
+    # The shift estimate only needs a few digits: compute it in f32.
+    Mq = (M / fro).astype(jnp.float32) if M.dtype == jnp.float64 else M / fro
+    rho2 = _dominant_rayleigh(Mq @ Mq, 6).astype(M.dtype)
     rho = jnp.sqrt(jnp.maximum(rho2, 0.0))[..., None, None] * fro
     # A squaring-pass Rayleigh quotient on a positive spectrum lies inside
     # the spectrum interval, so rho is a slight *under*-estimate; the 1.05
@@ -209,7 +221,8 @@ def extreme_eigenvalues_seeded(M, num_squarings: int = 9):
     """Cold-start variant of extreme_eigenvalues that also returns the
     eigenvector estimates, seeding extreme_eigenvalues_warm."""
     fro = jnp.sqrt(jnp.sum(M * M, axis=(-2, -1)))[..., None, None] + 1e-30
-    rho2 = _dominant_rayleigh((M / fro) @ (M / fro), 6)
+    Mq = (M / fro).astype(jnp.float32) if M.dtype == jnp.float64 else M / fro
+    rho2 = _dominant_rayleigh(Mq @ Mq, 6).astype(M.dtype)
     rho = jnp.sqrt(jnp.maximum(rho2, 0.0))[..., None, None] * fro
     sigma = jnp.where(
         jnp.isfinite(rho) & (rho > 1e-3 * fro), 1.05 * rho, fro
@@ -257,19 +270,27 @@ def extreme_eigenvalues_warm(M, vhi, uhi, vlo, ulo, lam_prev,
     sigma = 1.25 * jnp.where(
         sig_warm > 1e-6 * fro, jnp.minimum(sig_warm, fro), fro
     )
-    sig = sigma[..., None]
+    # The power-iteration sweep only produces eigenvector *estimates* (the
+    # Rayleigh quotient below is second-order accurate in their error), so
+    # on f64 inputs it runs in f32 — on TPU that's 16 MXU matvec steps
+    # instead of 16 emulated-f64 ones, the dominant per-iteration cost of
+    # the f64 accuracy path.
+    in_dtype = M.dtype
+    it_dtype = jnp.float32 if in_dtype == jnp.float64 else in_dtype
+    Mi = M.astype(it_dtype)
+    sig = sigma[..., None].astype(it_dtype)
 
     def norm(v):
         return v / (jnp.linalg.norm(v, axis=-1, keepdims=True) + 1e-30)
 
-    Mt = jnp.swapaxes(M, -2, -1)
+    Mt = jnp.swapaxes(Mi, -2, -1)
 
     def step(c, _):
         vh, uh, vl, ul = c
         # One read of M (and one of M^T) drives both ends: stack the
         # max-end and min-end vectors into a 2-column block.
         V = jnp.stack([vh, vl], axis=-1)  # (..., n, 2)
-        MV = jnp.einsum("...ij,...jk->...ik", M, V)
+        MV = jnp.einsum("...ij,...jk->...ik", Mi, V)
         U = jnp.stack([uh, ul], axis=-1)
         MtU = jnp.einsum("...ij,...jk->...ik", Mt, U)
         vh = norm(MV[..., 0] + sig * vh)
@@ -278,9 +299,14 @@ def extreme_eigenvalues_warm(M, vhi, uhi, vlo, ulo, lam_prev,
         ul = norm(sig * ul - MtU[..., 1])
         return (vh, uh, vl, ul), None
 
+    seeds0 = tuple(
+        norm(v.astype(it_dtype)) for v in (vhi, uhi, vlo, ulo)
+    )
     (vhi, uhi, vlo, ulo), _ = jax.lax.scan(
-        step, (norm(vhi), norm(uhi), norm(vlo), norm(ulo)), None,
-        length=num_steps,
+        step, seeds0, None, length=num_steps,
+    )
+    vhi, uhi, vlo, ulo = (
+        x.astype(in_dtype) for x in (vhi, uhi, vlo, ulo)
     )
 
     def rq(u, v, prev):

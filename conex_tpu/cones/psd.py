@@ -81,6 +81,13 @@ class DenseLMICone:
     # regardless, so the narrow copy halves that read's HBM traffic
     # (profiled at 2 x 0.9 ms/iteration on the benchmark shape).
     A_lo: Optional[jnp.ndarray] = None
+    # Pre-sliced Ozaki operands of A (mm.ozaki_prepare) for the f64
+    # accuracy path: (slices, mu, t, s) for the Schur panel pattern and
+    # the slack contraction pattern respectively.  A is loop-invariant;
+    # slicing it is ~s elementwise passes over the biggest tensor in the
+    # problem and must not run per Newton iteration.
+    A_ozp: Optional[tuple] = None
+    A_ozs: Optional[tuple] = None
 
     supports_line_search = False
     dual_scale = 1.0
@@ -129,6 +136,21 @@ class DenseLMICone:
             new = dataclasses.replace(new, At=prepare_operator(self.A, lo=lo))
         if lo and self.A_lo is None:
             new = dataclasses.replace(new, A_lo=self.A.astype(jnp.bfloat16))
+        if (
+            mm.get_mode() == "ozaki"
+            and self.A.dtype == jnp.float64
+            and self.A_ozp is None
+        ):
+            B, v, n, _ = self.A.shape
+            new = dataclasses.replace(
+                new,
+                A_ozp=mm.ozaki_prepare(
+                    "bvij,bjk->bvik", self.A.shape, (B, n, n), self.A, "x"
+                ),
+                A_ozs=mm.ozaki_prepare(
+                    "v,bvij->bij", (v,), self.A.shape, self.A, "y"
+                ),
+            )
         return new
 
     def _minus_s(self, y, k):
@@ -140,7 +162,10 @@ class DenseLMICone:
                 preferred_element_type=jnp.float32,
             )
             return s - k * self.C
-        return mm.einsum("v,bvij->bij", y, self.A) - k * self.C
+        return (
+            mm.einsum("v,bvij->bij", y, self.A, y_prep=self.A_ozs)
+            - k * self.C
+        )
 
     def schur(self, state: PSDState) -> SchurOut:
         # reference: SCHUR_COMPLEMENT_FUNCTION (dense_lmi_constraint.cc:72-103)
@@ -154,7 +179,8 @@ class DenseLMICone:
             return SchurOut(
                 G=G, AW=AW, AQc=AQc, w_dot_c=w_dot_c, c_dot_Qc=c_dot_Qc
             )
-        P = mm.einsum("bvij,bjk->bvik", self.A, w)  # A_i W panel
+        P = mm.einsum("bvij,bjk->bvik", self.A, w,
+                      x_prep=self.A_ozp)  # A_i W panel
         CW = mm.matmul(self.C, w)
         G = mm.einsum("bvik,buki->vu", P, P)  # tr(A_v W A_u W)
         AW = jnp.einsum("bvii->v", P)  # tr(A_v W)

@@ -96,7 +96,11 @@ class SolverConfig:
     # products, geodesic exponential) — see algebra/mm.py.  On TPU the MXU
     # multiplies in bf16; "default" lets XLA truncate f32 operands (fast,
     # ~4e-4 rel err), "x3"/"x6" run the split-precision ladder (~3x/6x one
-    # bf16 pass, ~2^-16 / ~f32 rel err).  Ignored for f64 problem data.
+    # bf16 pass, ~2^-16 / ~f32 rel err); these are ignored for f64 problem
+    # data.  "ozaki" applies to f64 data: the heavy matmuls run as exact
+    # bf16 MXU passes combined in f64 (~2^-48-class entry error at
+    # ~21-36 bf16 passes) instead of XLA's ~50-100x emulated-f64 path —
+    # the reference-accuracy-at-speed operating point.
     schur_precision: str = "default"
     # Precision island for the dense KKT factor+solve: "float64" casts the
     # assembled Schur complement to f64 for factorization and the

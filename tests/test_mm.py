@@ -82,3 +82,63 @@ def test_mode_context():
     assert mm.get_mode() == "default"
     with pytest.raises(ValueError):
         mm.set_mode("bogus")
+
+
+# ---------------------------------------------------------------------------
+# Ozaki-scheme f64 einsum
+# ---------------------------------------------------------------------------
+
+
+OZAKI_PATTERNS = [
+    ("ij,jk->ik", (100, 100), (100, 100)),
+    ("ij,jk->ik", (300, 300), (300, 300)),
+    ("bvij,bjk->bvik", (2, 5, 100, 100), (2, 100, 100)),
+    ("bvik,buki->vu", (2, 5, 100, 100), (2, 5, 100, 100)),  # promotion
+    ("v,bvij->bij", (50,), (2, 50, 30, 30)),
+    ("bik,bki->", (2, 60, 60), (2, 60, 60)),
+]
+
+
+@pytest.mark.parametrize("pattern,xs,ys", OZAKI_PATTERNS)
+def test_ozaki_einsum_accuracy(pattern, xs, ys):
+    """Exact-pass slicing must land ~2^-48-class error — far below the
+    2^-24 f32-accumulator floor of the x6 ladder (mm.py module notes)."""
+    rng = np.random.default_rng(hash(pattern) % 2**31)
+    x = jnp.asarray(rng.normal(size=xs) * 10 ** rng.uniform(-2, 2))
+    y = jnp.asarray(rng.normal(size=ys) * 10 ** rng.uniform(-2, 2))
+    if x.dtype != jnp.float64:
+        pytest.skip("needs x64")
+    ref = np.einsum(pattern, np.asarray(x), np.asarray(y))
+    got = np.asarray(mm._ozaki_einsum(pattern, x, y))
+    rel = np.linalg.norm(got - ref) / (np.linalg.norm(ref) + 1e-300)
+    assert rel < 1e-11, rel
+
+
+def test_ozaki_plan_promotes_long_contractions():
+    # K = 8 * 300 * 300 needs promotion before t >= 6 slices are exact.
+    pat, n_prom, t, s = mm._ozaki_plan(
+        "bvik,buki->vu", (8, 50, 300, 300), (8, 50, 300, 300), 48)
+    assert n_prom >= 1 and t >= 6 and t * s >= 48
+    # Small contraction: no promotion, full-width slices.
+    pat, n_prom, t, s = mm._ozaki_plan(
+        "ij,jk->ik", (64, 64), (64, 64), 48)
+    assert n_prom == 0 and t == 8 and s == 6
+
+
+def test_ozaki_mode_dispatch():
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.normal(size=(40, 40)))
+    y = jnp.asarray(rng.normal(size=(40, 40)))
+    if x.dtype != jnp.float64:
+        pytest.skip("needs x64")
+    with mm.mode("ozaki"):
+        out = mm.matmul(x, y)
+        oute = mm.einsum("ij,jk->ik", x, y)
+    ref = np.asarray(x) @ np.asarray(y)
+    assert np.linalg.norm(np.asarray(out) - ref) / np.linalg.norm(ref) < 1e-12
+    assert np.linalg.norm(np.asarray(oute) - ref) / np.linalg.norm(ref) < 1e-12
+    # f32 operands under "ozaki" route to the x6 ladder (no f64 combine).
+    x32, y32 = x.astype(jnp.float32), y.astype(jnp.float32)
+    with mm.mode("ozaki"):
+        out32 = mm.matmul(x32, y32)
+    assert out32.dtype == jnp.float32
