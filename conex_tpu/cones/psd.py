@@ -182,7 +182,15 @@ class DenseLMICone:
         P = mm.einsum("bvij,bjk->bvik", self.A, w,
                       x_prep=self.A_ozp)  # A_i W panel
         CW = mm.matmul(self.C, w)
-        G = mm.einsum("bvik,buki->vu", P, P)  # tr(A_v W A_u W)
+        if mm.get_mode() == "ozaki" and P.dtype == jnp.float64:
+            # P is both operands of the G contraction: slice it once.
+            P_prep = mm.ozaki_prepare(
+                "bvik,buki->vu", P.shape, P.shape, P
+            )
+        else:
+            P_prep = None
+        G = mm.einsum("bvik,buki->vu", P, P,
+                      x_prep=P_prep, y_prep=P_prep)  # tr(A_v W A_u W)
         AW = jnp.einsum("bvii->v", P)  # tr(A_v W)
         AQc = mm.einsum("bik,bvki->v", CW, P)  # tr(C W A_v W)
         w_dot_c = jnp.einsum("bii->", CW)
