@@ -1,0 +1,172 @@
+"""On-chip sparse/supernodal benchmark: LQR-chain-style sparse SDP.
+
+The TPU counterpart of the reference's sparse assembly benchmark
+(/root/reference/conex/test/assembly_test.cc, LDLT.Benchmark2): a chain
+of N LMI cliques of order nc, clique i over the 6-variable window
+starting at 3i (overlap 3).  Solved end-to-end (assembly + supernodal
+factorization + solves) through the block-compressed supernodal path on
+one TPU chip, batched over B independent instances, vs the reference
+single-core (baseline/bench_reference sparse N nc — same generator
+shape, fixed 30 Newton iterations both sides).
+
+Also records the compile times of the scan/compressed structure vs the
+per-clique unrolled structure (the SURVEY §5.7 long-context analogue).
+
+Writes BENCH_SPARSE.json.  Run: python benchmarks/bench_sparse.py
+"""
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def chain_program(N, nc, B, rng, dtype):
+    """B instances of the N-clique chain; returns (blocks, b, n_vars)."""
+    w = 6
+    n_vars = 3 * N + w - 3
+    # One cone block per clique, each holding B batched LMIs of order nc
+    # over its 6-variable window.
+    A = rng.uniform(-1, 1, (N, B, w, nc, nc)).astype(dtype)
+    A = 0.5 * (A + np.swapaxes(A, 3, 4))
+    X0 = rng.uniform(-1, 1, (N, B, nc, nc)).astype(dtype)
+    X0 = (np.einsum("sbij,sbkj->sbik", X0, X0) / nc
+          + 0.1 * np.eye(nc, dtype=dtype))
+    b = np.zeros((B, n_vars), dtype)
+    for i in range(N):
+        contrib = np.einsum("bvij,bij->bv", A[i], X0[i])
+        b[:, 3 * i:3 * i + w] += contrib
+    return A, b, n_vars
+
+
+def solve_tpu(N, nc, B, iters=30, scan_structure=True):
+    import jax
+    import jax.numpy as jnp
+
+    from conex_tpu import Program, SolverConfig
+    from conex_tpu import program as program_mod
+
+    dtype = np.float32
+    rng = np.random.default_rng(0)
+    A, b, n_vars = chain_program(N, nc, B, rng, dtype)
+
+    # Build one Program whose cone blocks carry the B-instance batch.
+    old_thresh = program_mod.SCAN_CLIQUE_THRESHOLD
+    program_mod.SCAN_CLIQUE_THRESHOLD = 0 if scan_structure else 10 ** 9
+    try:
+        prog = Program(n_vars, dtype=dtype)
+        w = 6
+        for i in range(N):
+            prog.add_lmi_constraint(
+                A[i], np.eye(nc, dtype=dtype),
+                variables=list(range(3 * i, 3 * i + w)),
+            )
+        # The per-program builder takes one b; batch instances via the
+        # batched cone blocks sharing scalar loop state is not the
+        # reference shape — instead solve the B instances sequentially
+        # batched in the cone axis with a SINGLE b (B=1 semantics per
+        # scenario is the honest comparison; cone-axis batching already
+        # covers the chip).  Here each clique block holds B LMIs, so one
+        # solve IS B coupled instances — for the benchmark we use B=1
+        # per solve and batch over cliques only.
+        cfg = SolverConfig(
+            max_iterations=iters, final_centering_steps=0,
+            inv_sqrt_mu_max=1e15, fixed_iterations=True,
+            inv_sqrt_mu_cap_scaled=100.0,
+        )
+        t0 = time.perf_counter()
+        res = prog.solve(b[0], cfg)
+        float(np.asarray(res.y).sum())
+        compile_s = time.perf_counter() - t0
+        best = float("inf")
+        for rep in range(3):
+            bs = b[0] * (1.0 + 1e-6 * (rep + 1) + 1e-7 * (time.time() % 97))
+            t0 = time.perf_counter()
+            r = prog.solve(jnp.asarray(bs), cfg)
+            float(np.asarray(r.y).sum())
+            best = min(best, time.perf_counter() - t0)
+        it = int(np.asarray(r.num_iterations))
+        fail = bool(np.asarray(r.fail))
+        return dict(
+            iters=it, fail=fail, seconds=best,
+            iters_per_sec=round(it / best, 1),
+            compile_seconds=round(compile_s, 1),
+            structure="compressed-scan" if scan_structure else "unrolled",
+        )
+    finally:
+        program_mod.SCAN_CLIQUE_THRESHOLD = old_thresh
+
+
+def reference_rate(N, nc):
+    exe = os.path.join(ROOT, "baseline", "bench_reference")
+    try:
+        out = subprocess.run(
+            ["taskset", "-c", "0", exe, "sparse", str(N), str(nc), "3", "1"],
+            capture_output=True, text=True, timeout=600,
+        )
+        return json.loads(out.stdout.strip().splitlines()[-1])
+    except Exception as e:  # pragma: no cover
+        log(f"reference run failed: {e}")
+        return None
+
+
+def main():
+    os.environ["CONEX_TPU_DISABLE_FUSED_SCHUR"] = "1"
+    import jax
+
+    jax.config.update(
+        "jax_compilation_cache_dir", os.path.join(ROOT, ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0)
+
+    results = []
+    for (N, nc) in [(40, 8), (200, 8)]:
+        ref = reference_rate(N, nc)
+        log(f"reference N={N}: {ref}")
+        row = dict(cliques=N, order=nc, num_vars=3 * N + 3,
+                   ref=ref)
+        row["tpu_compressed"] = solve_tpu(N, nc, 1, scan_structure=True)
+        log(f"tpu compressed N={N}: {row['tpu_compressed']}")
+        if N <= 40:
+            # The unrolled structure's compile time scales with clique
+            # count; only feasible at small N (that's the point).
+            row["tpu_unrolled"] = solve_tpu(N, nc, 1, scan_structure=False)
+            log(f"tpu unrolled N={N}: {row['tpu_unrolled']}")
+        if ref and not row["tpu_compressed"]["fail"]:
+            row["speedup"] = round(
+                row["tpu_compressed"]["iters_per_sec"]
+                / ref["iters_per_sec"], 2)
+        results.append(row)
+        log(json.dumps(row))
+
+    payload = dict(
+        description=(
+            "LQR-chain sparse SDP (N cliques of order nc over 6-variable "
+            "windows, overlap 3 — assembly_test.cc LDLT.Benchmark2 shape) "
+            "solved end-to-end: reference single-core fixed-30 vs the "
+            "block-compressed supernodal path on one TPU chip (f32, "
+            "scaled-mu cap 1e-4).  compile_seconds contrasts the "
+            "O(1)-compile scan structure with the per-clique unrolled "
+            "structure."
+        ),
+        device=str(jax.devices()[0]),
+        rows=results,
+    )
+    with open(os.path.join(ROOT, "BENCH_SPARSE.json"), "w") as f:
+        json.dump(payload, f, indent=2)
+    print(json.dumps({"rows": len(results), "ok": True}))
+
+
+if __name__ == "__main__":
+    main()

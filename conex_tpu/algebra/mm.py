@@ -91,11 +91,23 @@ def mode(m: str):
 OZAKI_MIN_BITS = 48  # slice coverage per operand (and kept pass depth)
 
 
-def _ozaki_slices(x, t: int, s: int):
-    """Split f64 ``x`` into ``s`` bf16 slices of ``t`` bits, per-tensor
-    power-of-two scaled.  Returns (slices, scale): x ~ scale * sum(slices),
-    with each slice an integer multiple of 2^-qt, |integer| <= 2^t."""
-    amax = jnp.max(jnp.abs(x))
+def _ozaki_slices(x, term: str, contracted: str, t: int, s: int):
+    """Split f64 ``x`` into ``s`` bf16 slices of ``t`` bits, power-of-two
+    scaled PER ROW — i.e. per slice of the non-contracted dims, with the
+    max taken over the pass-contracted dims only.  Row scaling (the real
+    Ozaki scheme) keeps every output entry accurate relative to its own
+    row/column scales, which matters enormously here: near convergence
+    the iterate's spectrum spans ~1/mu (1e9+), and a per-tensor scale
+    would truncate the small rows that become the KKT factor's small
+    pivots (observed: per-tensor scaling capped duality gaps at ~1e-5;
+    row scaling restores 1e-8-class gaps).
+
+    Returns (slices, mu_free, free_letters): x ~ mu * sum(slices) with mu
+    broadcast over the contracted axes; mu_free is mu with the contracted
+    axes squeezed out, indexed by free_letters (term order)."""
+    axes = tuple(i for i, ch in enumerate(term) if ch in contracted)
+    free = "".join(ch for ch in term if ch not in contracted)
+    amax = jnp.max(jnp.abs(x), axis=axes, keepdims=True) if axes else jnp.abs(x)
     e = jnp.ceil(jnp.log2(jnp.maximum(amax, 1e-300)))
     mu = jnp.where(amax > 0, jnp.exp2(e), 1.0).astype(x.dtype)
     r = x / mu
@@ -105,40 +117,52 @@ def _ozaki_slices(x, t: int, s: int):
         xq = jnp.round(r * f) / f
         slices.append(xq.astype(jnp.bfloat16))
         r = r - xq
-    return slices, mu
+    mu_free = jnp.squeeze(mu, axis=axes) if axes else mu
+    return slices, mu_free, free
 
 
-def _ozaki_plan(pattern: str, x_shape, y_shape, min_bits: int):
-    """Static plan for an Ozaki einsum: (pass pattern, number of promoted
-    axes, t, s).  Contracted letters are promoted (largest first) to output
-    batch axes until the in-pass contraction K allows t >= 6."""
-    import math
+class _OzakiPlan:
+    """Static einsum plan: pass pattern, slice widths, scale patterns."""
 
-    a, rest = pattern.split(",")
-    b, out = rest.split("->")
-    sizes = {}
-    for term, shape in ((a, x_shape), (b, y_shape)):
-        if len(term) != len(shape):
-            raise ValueError(f"pattern {pattern!r} vs shapes {x_shape}, "
-                             f"{y_shape} (no ellipsis support)")
-        for ch, d in zip(term, shape):
-            sizes[ch] = d
-    contracted = sorted(
-        {c for c in a if c in b and c not in out},
-        key=lambda c: -sizes[c],
-    )
-    promoted = []
-    K = math.prod(sizes[c] for c in contracted) if contracted else 1
-    t = (24 - max(0, math.ceil(math.log2(max(K, 1))))) // 2
-    while t < 6 and contracted:
-        c = contracted.pop(0)  # largest remaining
-        promoted.append(c)
-        K = math.prod(sizes[c] for c in contracted) if contracted else 1
-        t = (24 - max(0, math.ceil(math.log2(max(K, 1))))) // 2
-    t = min(8, t)
-    s = max(1, -(-min_bits // t))
-    pass_pattern = f"{a},{b}->{''.join(promoted)}{out}"
-    return pass_pattern, len(promoted), t, s
+    def __init__(self, pattern: str, x_shape, y_shape, min_bits: int):
+        import math
+
+        a, rest = pattern.split(",")
+        b, out = rest.split("->")
+        sizes = {}
+        for term, shape in ((a, x_shape), (b, y_shape)):
+            if len(term) != len(shape):
+                raise ValueError(
+                    f"pattern {pattern!r} vs shapes {x_shape}, {y_shape} "
+                    "(no ellipsis support)"
+                )
+            for ch, d in zip(term, shape):
+                sizes[ch] = d
+        contracted = sorted(
+            {c for c in a if c in b and c not in out},
+            key=lambda c: (-sizes[c], c),
+        )
+        promoted = []
+
+        def width():
+            K = 1
+            for c in contracted:
+                K *= sizes[c]
+            return (24 - max(0, math.ceil(math.log2(max(K, 1))))) // 2
+
+        t = width()
+        while t < 6 and contracted:
+            promoted.append(contracted.pop(0))  # largest remaining
+            t = width()
+        self.t = min(8, t)
+        self.s = max(1, -(-min_bits // self.t))
+        self.a, self.b, self.out = a, b, out
+        self.contracted = "".join(contracted)  # pass-contracted letters
+        self.promoted = "".join(promoted)
+        self.pass_pattern = f"{a},{b}->{self.promoted}{out}"
+
+    def key(self):
+        return (self.t, self.s, self.contracted)
 
 
 def ozaki_prepare(pattern: str, x_shape, y_shape, operand,
@@ -149,42 +173,59 @@ def ozaki_prepare(pattern: str, x_shape, y_shape, operand,
     operand; XLA does not reliably hoist it out of a while_loop, so
     loop-invariant operands (the LMI operator A) are sliced once up front
     (same motivation as DenseLMICone.prepare's At).  Returns
-    (slices, mu, t, s) — valid only for the (pattern, shapes) plan it was
-    built with; _ozaki_einsum checks.
-    """
-    _, _, t, s = _ozaki_plan(pattern, x_shape, y_shape, min_bits)
-    slices, mu = _ozaki_slices(operand, t, s)
-    return (slices, mu, t, s)
+    (slices, mu, free_letters, plan_key) — valid only for the
+    (pattern, shapes) plan it was built with; _ozaki_einsum checks."""
+    plan = _OzakiPlan(pattern, x_shape, y_shape, min_bits)
+    term = plan.a if which == "x" else plan.b
+    slices, mu, free = _ozaki_slices(
+        operand, term, plan.contracted, plan.t, plan.s
+    )
+    # The term is part of the key: the same tensor used in a different
+    # index role (e.g. P as both operands of the G contraction) has
+    # different contracted AXES, hence different row scales and slices.
+    return (slices, mu, free, plan.key(), term)
 
 
 def _ozaki_einsum(pattern: str, x, y, min_bits: int = OZAKI_MIN_BITS,
                   x_prep=None, y_prep=None):
     """f64 two-operand einsum via exact bf16 passes (see module section
-    comment).  Output error ~ sqrt(K) * 2^-min_bits relative to the
-    operand-scale product — far below the f32-accumulator floor."""
-    pass_pattern, n_promoted, t, s = _ozaki_plan(
-        pattern, x.shape, y.shape, min_bits
-    )
-    if x_prep is not None and x_prep[2] == t and x_prep[3] == s:
-        xs, mux = x_prep[0], x_prep[1]
+    comment).  Output error ~ sqrt(K) * 2^-min_bits relative to each
+    entry's own row/column scales — far below the f32-accumulator floor."""
+    plan = _OzakiPlan(pattern, x.shape, y.shape, min_bits)
+    if (x_prep is not None and x_prep[3] == plan.key()
+            and x_prep[4] == plan.a):
+        xs, mux, free_x = x_prep[0], x_prep[1], x_prep[2]
     else:
-        xs, mux = _ozaki_slices(x, t, s)
-    if y_prep is not None and y_prep[2] == t and y_prep[3] == s:
-        ys, muy = y_prep[0], y_prep[1]
+        xs, mux, free_x = _ozaki_slices(
+            x, plan.a, plan.contracted, plan.t, plan.s
+        )
+    if (y_prep is not None and y_prep[3] == plan.key()
+            and y_prep[4] == plan.b):
+        ys, muy, free_y = y_prep[0], y_prep[1], y_prep[2]
     else:
-        ys, muy = _ozaki_slices(y, t, s)
+        ys, muy, free_y = _ozaki_slices(
+            y, plan.b, plan.contracted, plan.t, plan.s
+        )
+    s = plan.s
     out = None
     for q in range(1, s + 1):
         for r in range(1, s + 1):
             if q + r > s + 1:
                 continue  # below the slice-coverage floor
-            p = jnp.einsum(pass_pattern, xs[q - 1], ys[r - 1],
+            p = jnp.einsum(plan.pass_pattern, xs[q - 1], ys[r - 1],
                            preferred_element_type=jnp.float32)
             p = jax.lax.optimization_barrier(p).astype(x.dtype)
-            if n_promoted:
-                p = jnp.sum(p, axis=tuple(range(n_promoted)))
             out = p if out is None else out + p
-    return out * (mux * muy)
+    # Element scales: the outer product of the per-row scales, laid out on
+    # the pass output (promoted axes still present — scales vary along
+    # them, so the promoted-axis reduction must come after this multiply).
+    scale = jnp.einsum(
+        f"{free_x},{free_y}->{plan.promoted}{plan.out}", mux, muy
+    )
+    out = out * scale
+    if plan.promoted:
+        out = jnp.sum(out, axis=tuple(range(len(plan.promoted))))
+    return out
 
 
 def _ozaki_applies(m, x, y):

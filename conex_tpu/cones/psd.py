@@ -183,14 +183,18 @@ class DenseLMICone:
                       x_prep=self.A_ozp)  # A_i W panel
         CW = mm.matmul(self.C, w)
         if mm.get_mode() == "ozaki" and P.dtype == jnp.float64:
-            # P is both operands of the G contraction: slice it once.
-            P_prep = mm.ozaki_prepare(
-                "bvik,buki->vu", P.shape, P.shape, P
+            # P is both operands of the G contraction — slice it once per
+            # index role (the roles contract different axes of P).
+            P_px = mm.ozaki_prepare(
+                "bvik,buki->vu", P.shape, P.shape, P, which="x"
+            )
+            P_py = mm.ozaki_prepare(
+                "bvik,buki->vu", P.shape, P.shape, P, which="y"
             )
         else:
-            P_prep = None
+            P_px = P_py = None
         G = mm.einsum("bvik,buki->vu", P, P,
-                      x_prep=P_prep, y_prep=P_prep)  # tr(A_v W A_u W)
+                      x_prep=P_px, y_prep=P_py)  # tr(A_v W A_u W)
         AW = jnp.einsum("bvii->v", P)  # tr(A_v W)
         AQc = mm.einsum("bik,bvki->v", CW, P)  # tr(C W A_v W)
         w_dot_c = jnp.einsum("bii->", CW)

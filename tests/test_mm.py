@@ -116,13 +116,33 @@ def test_ozaki_einsum_accuracy(pattern, xs, ys):
 
 def test_ozaki_plan_promotes_long_contractions():
     # K = 8 * 300 * 300 needs promotion before t >= 6 slices are exact.
-    pat, n_prom, t, s = mm._ozaki_plan(
+    plan = mm._OzakiPlan(
         "bvik,buki->vu", (8, 50, 300, 300), (8, 50, 300, 300), 48)
-    assert n_prom >= 1 and t >= 6 and t * s >= 48
+    assert len(plan.promoted) >= 1 and plan.t >= 6
+    assert plan.t * plan.s >= 48
     # Small contraction: no promotion, full-width slices.
-    pat, n_prom, t, s = mm._ozaki_plan(
-        "ij,jk->ik", (64, 64), (64, 64), 48)
-    assert n_prom == 0 and t == 8 and s == 6
+    plan = mm._OzakiPlan("ij,jk->ik", (64, 64), (64, 64), 48)
+    assert plan.promoted == "" and plan.t == 8 and plan.s == 6
+
+
+def test_ozaki_row_scaling_keeps_small_rows():
+    """Per-row scaling: entries whose row/column scales differ by many
+    orders of magnitude keep entrywise-relative accuracy (a per-tensor
+    scale would truncate the small rows entirely — the endgame KKT
+    regime, where the iterate spectrum spans ~1/mu)."""
+    rng = np.random.default_rng(5)
+    n = 64
+    D = 10.0 ** rng.uniform(-9, 9, n)
+    X = jnp.asarray(rng.normal(size=(n, n)) * D[:, None])
+    Y = jnp.asarray(rng.normal(size=(n, n)) * D[None, :])
+    if X.dtype != jnp.float64:
+        pytest.skip("needs x64")
+    ref = np.einsum("ij,jk->ik", np.asarray(X), np.asarray(Y))
+    got = np.asarray(mm._ozaki_einsum("ij,jk->ik", X, Y))
+    scales = (np.abs(np.asarray(X)).max(1)[:, None]
+              * np.abs(np.asarray(Y)).max(0)[None, :]) * n
+    rel = np.abs(got - ref) / np.maximum(scales, 1e-300)
+    assert rel.max() < 1e-13, rel.max()
 
 
 def test_ozaki_mode_dispatch():
