@@ -88,11 +88,29 @@ def mode(m: str):
 # engine behind SolverConfig.schur_precision="ozaki", the reference-
 # accuracy-at-speed operating point.
 
-OZAKI_MIN_BITS = 48  # slice coverage per operand (and kept pass depth)
+# Slice coverage per operand (and kept pass depth).  48 bits leaves
+# ~1e-13-class G-entry errors, which is exactly the Cholesky breakdown
+# edge at the solver's endgame (cond(G) ~ 1/mu_scaled reaches 1e12+ at
+# the reference's accuracy targets): measured, 48 bits loses scenarios to
+# factorization failures that 56 bits solves 8/8.  56 bits = s=7 slices
+# at t=8 (28 passes), ~2^-56 entry error — genuine f64-class.
+OZAKI_MIN_BITS = 56
 
 
-def _ozaki_slices(x, term: str, contracted: str, t: int, s: int):
-    """Split f64 ``x`` into ``s`` bf16 slices of ``t`` bits, power-of-two
+# Pass arithmetic: "int8" slices accumulate in int32 on the MXU (exact up
+# to contraction length ~2^17, half the slice bytes of bf16, and the int8
+# MXU path runs at up to 2x the bf16 rate on v5e); "bf16" slices
+# accumulate in f32 (exact only up to K*2^(2t) <= 2^24, forcing axis
+# promotion on large contractions).  int8 is the default; bf16 remains as
+# the fallback for backends without an int8 matmul path.
+import os as _os
+
+OZAKI_IMPL = _os.environ.get("CONEX_TPU_OZAKI_IMPL", "int8")
+
+
+def _ozaki_slices(x, term: str, contracted: str, t: int, s: int,
+                  impl: str = "bf16"):
+    """Split f64 ``x`` into ``s`` slices of ``t`` bits, power-of-two
     scaled PER ROW — i.e. per slice of the non-contracted dims, with the
     max taken over the pass-contracted dims only.  Row scaling (the real
     Ozaki scheme) keeps every output entry accurate relative to its own
@@ -102,21 +120,31 @@ def _ozaki_slices(x, term: str, contracted: str, t: int, s: int):
     pivots (observed: per-tensor scaling capped duality gaps at ~1e-5;
     row scaling restores 1e-8-class gaps).
 
-    Returns (slices, mu_free, free_letters): x ~ mu * sum(slices) with mu
-    broadcast over the contracted axes; mu_free is mu with the contracted
-    axes squeezed out, indexed by free_letters (term order)."""
+    bf16 impl: slice q holds round(r * 2^qt) / 2^qt (the magnitude is in
+    the float).  int8 impl: slice q holds the bare integer round(r * 2^qt)
+    (|int| <= 2^(t-1) + 1 — mu is doubled so r in (-1/2, 1/2]); the
+    2^-(q+r)t pass magnitude is applied at combine time.
+
+    Returns (slices, mu_free, free_letters): x ~ mu * sum(slices * unit_q)
+    with mu broadcast over the contracted axes; mu_free is mu with the
+    contracted axes squeezed out, indexed by free_letters (term order)."""
     axes = tuple(i for i, ch in enumerate(term) if ch in contracted)
     free = "".join(ch for ch in term if ch not in contracted)
     amax = jnp.max(jnp.abs(x), axis=axes, keepdims=True) if axes else jnp.abs(x)
     e = jnp.ceil(jnp.log2(jnp.maximum(amax, 1e-300)))
+    if impl == "int8":
+        e = e + 1.0  # r in (-1/2, 1/2]: first-slice ints fit int8
     mu = jnp.where(amax > 0, jnp.exp2(e), 1.0).astype(x.dtype)
     r = x / mu
     slices = []
     for q in range(1, s + 1):
         f = float(2.0 ** (q * t))
-        xq = jnp.round(r * f) / f
-        slices.append(xq.astype(jnp.bfloat16))
-        r = r - xq
+        xq = jnp.round(r * f)
+        if impl == "int8":
+            slices.append(xq.astype(jnp.int8))
+        else:
+            slices.append((xq / f).astype(jnp.bfloat16))
+        r = r - xq / f
     mu_free = jnp.squeeze(mu, axis=axes) if axes else mu
     return slices, mu_free, free
 
@@ -124,7 +152,8 @@ def _ozaki_slices(x, term: str, contracted: str, t: int, s: int):
 class _OzakiPlan:
     """Static einsum plan: pass pattern, slice widths, scale patterns."""
 
-    def __init__(self, pattern: str, x_shape, y_shape, min_bits: int):
+    def __init__(self, pattern: str, x_shape, y_shape, min_bits: int,
+                 impl: str = "bf16"):
         import math
 
         a, rest = pattern.split(",")
@@ -144,29 +173,47 @@ class _OzakiPlan:
         )
         promoted = []
 
-        def width():
-            K = 1
+        def K():
+            out_ = 1
             for c in contracted:
-                K *= sizes[c]
-            return (24 - max(0, math.ceil(math.log2(max(K, 1))))) // 2
+                out_ *= sizes[c]
+            return out_
 
-        t = width()
-        while t < 6 and contracted:
-            promoted.append(contracted.pop(0))  # largest remaining
+        if impl == "int8":
+            # Exactness: K * (2^(t-1) + 1)^2 < 2^31 in the int32
+            # accumulator; t = 7 keeps products <= 65^2 < 2^13, so
+            # contractions up to 2^17 run promotion-free.
+            t = 7
+            while K() > 2 ** 17 and contracted:
+                promoted.append(contracted.pop(0))  # largest remaining
+        else:
+            def width():
+                return (24 - max(0, math.ceil(math.log2(max(K(), 1))))) // 2
+
             t = width()
-        self.t = min(8, t)
+            while t < 6 and contracted:
+                promoted.append(contracted.pop(0))
+                t = width()
+            t = min(8, t)
+        self.impl = impl
+        self.t = t
         self.s = max(1, -(-min_bits // self.t))
         self.a, self.b, self.out = a, b, out
         self.contracted = "".join(contracted)  # pass-contracted letters
         self.promoted = "".join(promoted)
         self.pass_pattern = f"{a},{b}->{self.promoted}{out}"
+        # Row scales are constant over contracted AND promoted axes: the
+        # promoted-axis reduction can then run per pass in f64 (before the
+        # scale multiply), so no (promoted + out)-shaped accumulator or
+        # scale tensor is ever materialized — the scale is output-sized.
+        self.reduce = self.contracted + self.promoted
 
     def key(self):
-        return (self.t, self.s, self.contracted)
+        return (self.impl, self.t, self.s, self.reduce)
 
 
 def ozaki_prepare(pattern: str, x_shape, y_shape, operand,
-                  which: str = "x", min_bits: int = OZAKI_MIN_BITS):
+                  which: str = "x", min_bits=None):
     """Pre-slice a loop-invariant operand for _ozaki_einsum.
 
     Slicing costs ~s elementwise passes over the (often large) f64
@@ -175,10 +222,12 @@ def ozaki_prepare(pattern: str, x_shape, y_shape, operand,
     (same motivation as DenseLMICone.prepare's At).  Returns
     (slices, mu, free_letters, plan_key) — valid only for the
     (pattern, shapes) plan it was built with; _ozaki_einsum checks."""
-    plan = _OzakiPlan(pattern, x_shape, y_shape, min_bits)
+    if min_bits is None:
+        min_bits = OZAKI_MIN_BITS
+    plan = _OzakiPlan(pattern, x_shape, y_shape, min_bits, OZAKI_IMPL)
     term = plan.a if which == "x" else plan.b
     slices, mu, free = _ozaki_slices(
-        operand, term, plan.contracted, plan.t, plan.s
+        operand, term, plan.reduce, plan.t, plan.s, plan.impl
     )
     # The term is part of the key: the same tensor used in a different
     # index role (e.g. P as both operands of the G contraction) has
@@ -186,46 +235,50 @@ def ozaki_prepare(pattern: str, x_shape, y_shape, operand,
     return (slices, mu, free, plan.key(), term)
 
 
-def _ozaki_einsum(pattern: str, x, y, min_bits: int = OZAKI_MIN_BITS,
+def _ozaki_einsum(pattern: str, x, y, min_bits=None,
                   x_prep=None, y_prep=None):
     """f64 two-operand einsum via exact bf16 passes (see module section
     comment).  Output error ~ sqrt(K) * 2^-min_bits relative to each
     entry's own row/column scales — far below the f32-accumulator floor."""
-    plan = _OzakiPlan(pattern, x.shape, y.shape, min_bits)
+    if min_bits is None:
+        min_bits = OZAKI_MIN_BITS
+    plan = _OzakiPlan(pattern, x.shape, y.shape, min_bits, OZAKI_IMPL)
     if (x_prep is not None and x_prep[3] == plan.key()
             and x_prep[4] == plan.a):
         xs, mux, free_x = x_prep[0], x_prep[1], x_prep[2]
     else:
         xs, mux, free_x = _ozaki_slices(
-            x, plan.a, plan.contracted, plan.t, plan.s
+            x, plan.a, plan.reduce, plan.t, plan.s, plan.impl
         )
     if (y_prep is not None and y_prep[3] == plan.key()
             and y_prep[4] == plan.b):
         ys, muy, free_y = y_prep[0], y_prep[1], y_prep[2]
     else:
         ys, muy, free_y = _ozaki_slices(
-            y, plan.b, plan.contracted, plan.t, plan.s
+            y, plan.b, plan.reduce, plan.t, plan.s, plan.impl
         )
     s = plan.s
+    n_promoted = len(plan.promoted)
+    int8 = plan.impl == "int8"
+    acc_t = jnp.int32 if int8 else jnp.float32
     out = None
     for q in range(1, s + 1):
         for r in range(1, s + 1):
             if q + r > s + 1:
                 continue  # below the slice-coverage floor
             p = jnp.einsum(plan.pass_pattern, xs[q - 1], ys[r - 1],
-                           preferred_element_type=jnp.float32)
+                           preferred_element_type=acc_t)
             p = jax.lax.optimization_barrier(p).astype(x.dtype)
+            if n_promoted:
+                p = jnp.sum(p, axis=tuple(range(n_promoted)))
+            if int8:
+                # int8 slices are bare integers: apply the pass magnitude.
+                p = p * float(2.0 ** (-(q + r) * plan.t))
             out = p if out is None else out + p
-    # Element scales: the outer product of the per-row scales, laid out on
-    # the pass output (promoted axes still present — scales vary along
-    # them, so the promoted-axis reduction must come after this multiply).
-    scale = jnp.einsum(
-        f"{free_x},{free_y}->{plan.promoted}{plan.out}", mux, muy
-    )
-    out = out * scale
-    if plan.promoted:
-        out = jnp.sum(out, axis=tuple(range(len(plan.promoted))))
-    return out
+    # Element scales: outer product of the per-row scales, output-sized
+    # (scales are constant over promoted axes by construction).
+    scale = jnp.einsum(f"{free_x},{free_y}->{plan.out}", mux, muy)
+    return out * scale
 
 
 def _ozaki_applies(m, x, y):
