@@ -60,9 +60,11 @@ def main():
             by = b[s] @ ys[s]
             cx = np.sum(np.asarray(C[s, 0]) * Xs)
             gaps.append(abs(cx - by) / (1 + abs(by)))
+        gap = f"{max(gaps):.2e}" if gaps else "n/a"
         print(f"mode={mode}: {int(it.sum())/best:.1f} it/s  "
               f"solved {int(ok.sum())}/{B}  "
-              f"max_gap {max(gaps):.2e}  iters {it.tolist()}  "
+              f"max_gap {gap}  iters {it.tolist()}  "
+              f"fails {int(np.asarray(r.fail).sum())}  "
               f"(first-call {compile_s:.0f}s)", flush=True)
 
 

@@ -134,6 +134,40 @@ def tpu_f64(n, m, B):
                 max_rel_gap=float(f"{max(gaps):.2e}") if gaps else None)
 
 
+def tpu_mixed(n, m, B):
+    """The mixed-precision operating point: f64 problem data and scalars,
+    Ozaki exact-bf16/int8 passes for the heavy matmuls
+    (SolverConfig.schur_precision='ozaki', algebra/mm.py) — reference-f64
+    semantics at MXU speed."""
+    from conex_tpu.config import SolverConfig
+
+    A, C, b = _workload(B, n, m, np.float64)
+    kmax = 4e4 if n < 300 else 1e6
+    iters = 150 if n < 300 else 250
+    cfg = SolverConfig(max_iterations=iters, inv_sqrt_mu_max=kmax,
+                       prepare_dual_variables=True,
+                       schur_precision="ozaki")
+    r, best = _solve(A, C, b, cfg)
+    it = np.asarray(r.num_iterations)
+    ok = np.asarray(r.solved)
+    solved = int(ok.sum())
+    X = np.asarray(r.ws[0].w)
+    k = np.asarray(r.k)
+    bsc = np.asarray(r.b_scaling)
+    ys = np.asarray(r.y)
+    gaps = []
+    for s in range(B):
+        if not ok[s]:
+            continue
+        Xs = X[s, 0] / (k[s] * bsc[s])
+        by = b[s] @ ys[s]
+        cx = np.sum(np.asarray(C[s, 0]) * Xs)
+        gaps.append(abs(cx - by) / (1 + abs(by)))
+    return dict(iters_per_sec=round(int(it.sum()) / best, 1), B=B,
+                solved=f"{solved}/{B}",
+                max_rel_gap=float(f"{max(gaps):.2e}") if gaps else None)
+
+
 def main():
     # The fused Pallas kernel is only hardware-validated under vmap in the
     # n~100 regime; unvalidated shapes can crash (and wedge) the remote
@@ -154,13 +188,15 @@ def main():
         ref = json.load(f)
 
     jax.config.update("jax_enable_x64", True)
+    mixed_only = "--mixed-only" in sys.argv
+    argv = [a for a in sys.argv[1:] if a != "--mixed-only"]
     only = None
-    if len(sys.argv) > 1:
-        only = {tuple(int(x) for x in a.split(",")) for a in sys.argv[1:]}
+    if argv:
+        only = {tuple(int(x) for x in a.split(",")) for a in argv}
     # merge with any existing rows when filtering
     prior = {}
     out_path = os.path.join(root, "SWEEP_TABLE.json")
-    if only and os.path.exists(out_path):
+    if os.path.exists(out_path):
         with open(out_path) as f:
             for r in json.load(f)["rows"]:
                 prior[(r["n"], r["m"])] = r
@@ -180,16 +216,27 @@ def main():
         bytes_per = m * n * n * 4
         B_f32 = max(1, min(64, int(6e8 // max(bytes_per, 1))))
         B_f64 = max(1, min(8, int(25e7 // max(bytes_per, 1))))
-        log(f"shape n={n} m={m}: ref={ref_ips} it/s, B_f32={B_f32}, "
-            f"B_f64={B_f64}")
-        t32 = tpu_f32(n, m, B_f32)
-        t64 = tpu_f64(n, m, B_f64)
-        row = dict(n=n, m=m, ref_cpu_iters_per_sec=ref_ips,
-                   tpu_f32=t32, tpu_f64=t64)
-        if t32 and ref_ips:
-            row["f32_speedup"] = round(t32["iters_per_sec"] / ref_ips, 1)
-        if t64 and ref_ips:
-            row["f64_speedup"] = round(t64["iters_per_sec"] / ref_ips, 1)
+        # Mixed (ozaki): ~48 bytes per A element (f64 data + int8 slice
+        # preps for A and the P panel, both index roles).
+        B_mix = max(1, min(64, int(2.5e9 // max(48 * m * n * n, 1))))
+        if mixed_only and (n, m) in prior:
+            row = dict(prior[(n, m)])
+        else:
+            log(f"shape n={n} m={m}: ref={ref_ips} it/s, B_f32={B_f32}, "
+                f"B_f64={B_f64}")
+            t32 = tpu_f32(n, m, B_f32)
+            t64 = tpu_f64(n, m, B_f64)
+            row = dict(n=n, m=m, ref_cpu_iters_per_sec=ref_ips,
+                       tpu_f32=t32, tpu_f64=t64)
+            if t32 and ref_ips:
+                row["f32_speedup"] = round(t32["iters_per_sec"] / ref_ips, 1)
+            if t64 and ref_ips:
+                row["f64_speedup"] = round(t64["iters_per_sec"] / ref_ips, 1)
+        log(f"mixed n={n} m={m}: B={B_mix}")
+        tmix = tpu_mixed(n, m, B_mix)
+        row["tpu_mixed"] = tmix
+        if tmix and ref_ips:
+            row["mixed_speedup"] = round(tmix["iters_per_sec"] / ref_ips, 1)
         rows.append(row)
         log(json.dumps(row))
 
@@ -200,8 +247,10 @@ def main():
             "Newton iterations/s; reference = single core fixed-30; TPU "
             "f32 = fixed-30 with scaled-mu cap 1e-4 (headline config), "
             "batched; TPU f64 = adaptive to mu ~ 6e-10 with measured max "
-            "relative duality gap.  n=300 m=9000 omitted (one reference "
-            "solve ~44 CPU-hours)."
+            "relative duality gap; TPU mixed = f64 data + Ozaki exact-MXU "
+            "matmuls (schur_precision='ozaki'), same adaptive target — "
+            "reference-f64 semantics at MXU speed.  n=300 m=9000 omitted "
+            "(one reference solve ~44 CPU-hours)."
         ),
         device=str(jax.devices()[0]),
         rows=rows,
@@ -219,20 +268,26 @@ def main():
         "achieved max relative duality gap at mu target 6.25e-10.",
         "",
         "| n | m | ref CPU it/s | TPU f32 it/s (B) | f32 speedup | "
-        "TPU f64 it/s (B) | f64 speedup | f64 max rel gap |",
-        "|---|---|---|---|---|---|---|---|",
+        "TPU f64 it/s (B) | f64 speedup | f64 max rel gap | "
+        "mixed it/s (B) | mixed speedup | mixed max rel gap |",
+        "|---|---|---|---|---|---|---|---|---|---|---|",
     ]
     for r in rows:
         t32, t64 = r["tpu_f32"], r["tpu_f64"]
+        tmx = r.get("tpu_mixed")
         c32 = (f"{t32['iters_per_sec']} (B={t32['B']}, {t32['mode']})"
                if t32 else "invalid")
         c64 = (f"{t64['iters_per_sec']} (B={t64['B']})" if t64 else "-")
         g64 = (f"{t64['max_rel_gap']} ({t64['solved']} solved)"
                if t64 else "-")
+        cmx = (f"{tmx['iters_per_sec']} (B={tmx['B']})" if tmx else "-")
+        gmx = (f"{tmx['max_rel_gap']} ({tmx['solved']} solved)"
+               if tmx else "-")
         lines.append(
             f"| {r['n']} | {r['m']} | {r['ref_cpu_iters_per_sec']} "
             f"| {c32} | {r.get('f32_speedup', '-')}x "
-            f"| {c64} | {r.get('f64_speedup', '-')}x | {g64} |"
+            f"| {c64} | {r.get('f64_speedup', '-')}x | {g64} "
+            f"| {cmx} | {r.get('mixed_speedup', '-')}x | {gmx} |"
         )
     with open(os.path.join(root, "SWEEP_TABLE.md"), "w") as f:
         f.write("\n".join(lines) + "\n")

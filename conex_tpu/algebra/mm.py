@@ -97,15 +97,18 @@ def mode(m: str):
 OZAKI_MIN_BITS = 56
 
 
-# Pass arithmetic: "int8" slices accumulate in int32 on the MXU (exact up
-# to contraction length ~2^17, half the slice bytes of bf16, and the int8
-# MXU path runs at up to 2x the bf16 rate on v5e); "bf16" slices
-# accumulate in f32 (exact only up to K*2^(2t) <= 2^24, forcing axis
-# promotion on large contractions).  int8 is the default; bf16 remains as
-# the fallback for backends without an int8 matmul path.
+# Pass arithmetic: "bf16" slices accumulate in f32 (exact up to
+# K*2^(2t) <= 2^24, forcing axis promotion on large contractions) —
+# the default.  "int8" slices with int32 accumulation would lift the
+# exactness bound to K ~ 2^17 at half the slice bytes, but MEASURED
+# on v5e the int8 einsum lowers through the same f32-class accumulator:
+# a K=1e4 contraction of 13-bit integer products came back with 3e-4
+# relative error on the result diagonal (exact on CPU).  The int8 impl
+# stays available for backends with a true int32 MXU accumulation path
+# (CONEX_TPU_OZAKI_IMPL=int8).
 import os as _os
 
-OZAKI_IMPL = _os.environ.get("CONEX_TPU_OZAKI_IMPL", "int8")
+OZAKI_IMPL = _os.environ.get("CONEX_TPU_OZAKI_IMPL", "bf16")
 
 
 def _ozaki_slices(x, term: str, contracted: str, t: int, s: int,
