@@ -359,13 +359,22 @@ def einsum(pattern: str, x, y, mode: str | None = None,
     raise ValueError(f"unknown mm mode {m!r}")
 
 
-def matmul(x, y, mode: str | None = None):
+def matmul_pattern(ndim: int) -> str:
+    """The einsum pattern matmul() uses for same-ndim batched operands —
+    for building ozaki_prepare preps reusable across matmul calls."""
+    letters = "abcdefgh"[: ndim - 2]
+    return f"{letters}ij,{letters}jk->{letters}ik"
+
+
+def matmul(x, y, mode: str | None = None, x_prep=None, y_prep=None):
     """Batched matrix product (..., i, j) @ (..., j, k) with the active
-    split-precision mode."""
+    split-precision mode.  ``x_prep``/``y_prep``: optional pre-sliced
+    operands (ozaki_prepare with matmul_pattern) for loop-invariant
+    factors — e.g. the Horner argument of the matrix exponential."""
     m = mode if mode is not None else _mode.get()
     if _ozaki_applies(m, x, y) and x.ndim == y.ndim and x.ndim >= 2:
-        letters = "abcdefgh"[: x.ndim - 2]
-        return _ozaki_einsum(f"{letters}ij,{letters}jk->{letters}ik", x, y)
+        return _ozaki_einsum(matmul_pattern(x.ndim), x, y,
+                             x_prep=x_prep, y_prep=y_prep)
     f32 = x.dtype == jnp.float32 and y.dtype == jnp.float32
     if m == "ozaki" and f32:
         m = "x6"

@@ -47,10 +47,16 @@ def expm_taylor(A: jnp.ndarray, degree: int = 8, squarings: int = 3):
     n = A.shape[-1]
     eye = jnp.eye(n, dtype=A.dtype)
     X = A / (2.0 ** squarings)
+    # In ozaki mode, X is the left operand of every Horner matmul: slice
+    # it once instead of degree-1 times.
+    X_prep = None
+    if mm.get_mode() == "ozaki" and X.dtype == jnp.float64 and X.ndim >= 2:
+        pat = mm.matmul_pattern(X.ndim)
+        X_prep = mm.ozaki_prepare(pat, X.shape, X.shape, X, which="x")
     # Horner evaluation of sum X^k / k!.
     Y = eye + X / degree
     for k in range(degree - 1, 0, -1):
-        Y = eye + mm.matmul(X, Y) / k
+        Y = eye + mm.matmul(X, Y, x_prep=X_prep) / k
     for _ in range(squarings):
         Y = mm.matmul(Y, Y)
     return Y

@@ -196,7 +196,14 @@ class DenseLMICone:
         G = mm.einsum("bvik,buki->vu", P, P,
                       x_prep=P_px, y_prep=P_py)  # tr(A_v W A_u W)
         AW = jnp.einsum("bvii->v", P)  # tr(A_v W)
-        AQc = mm.einsum("bik,bvki->v", CW, P)  # tr(C W A_v W)
+        if P_px is not None:
+            P_pa = mm.ozaki_prepare(
+                "bik,bvki->v", CW.shape, P.shape, P, which="y"
+            )
+        else:
+            P_pa = None
+        AQc = mm.einsum("bik,bvki->v", CW, P,
+                        y_prep=P_pa)  # tr(C W A_v W)
         w_dot_c = jnp.einsum("bii->", CW)
         c_dot_Qc = mm.einsum("bik,bki->", CW, CW)  # tr(C W C W)
         return SchurOut(G=G, AW=AW, AQc=AQc, w_dot_c=w_dot_c, c_dot_Qc=c_dot_Qc)
