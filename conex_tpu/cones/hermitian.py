@@ -27,6 +27,10 @@ from ..algebra import hypercomplex as hc
 from ..algebra import sym
 from .base import SchurOut, SlackStats
 
+# Trace-time benchmark switch: force the cold squaring estimator on every
+# iteration (see bench_hermitian.py).
+FORCE_COLD = False
+
 
 class HermState(NamedTuple):
     """Hermitian cone state for d <= 4: the iterate plus warm eigenvector
@@ -148,6 +152,11 @@ class HermitianCone:
         eigenvector seeds — the same warm-seed design as the real PSD cone
         (psd.py::PSDState)."""
         R = hc.real_representation(WS)
+        if FORCE_COLD:
+            # Benchmark-only escape hatch (benchmarks/bench_hermitian.py):
+            # run the cold squaring estimator every iteration to measure
+            # what the warm seeds buy.
+            return sym.extreme_eigenvalues_seeded(R)
         is_cold = jnp.max(jnp.abs(state.lam)) == 0.0
 
         def cold(_):
