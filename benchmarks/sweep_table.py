@@ -216,9 +216,9 @@ def main():
         bytes_per = m * n * n * 4
         B_f32 = max(1, min(64, int(6e8 // max(bytes_per, 1))))
         B_f64 = max(1, min(8, int(25e7 // max(bytes_per, 1))))
-        # Mixed (ozaki): ~48 bytes per A element (f64 data + int8 slice
-        # preps for A and the P panel, both index roles).
-        B_mix = max(1, min(64, int(2.5e9 // max(48 * m * n * n, 1))))
+        # Mixed (ozaki): ~48 bytes per A element (f64 data + bf16 slice
+        # preps for A and the P panel across their index roles).
+        B_mix = max(1, min(256, int(2.5e9 // max(48 * m * n * n, 1))))
         if mixed_only and (n, m) in prior:
             row = dict(prior[(n, m)])
         else:
@@ -233,7 +233,11 @@ def main():
             if t64 and ref_ips:
                 row["f64_speedup"] = round(t64["iters_per_sec"] / ref_ips, 1)
         log(f"mixed n={n} m={m}: B={B_mix}")
-        tmix = tpu_mixed(n, m, B_mix)
+        try:
+            tmix = tpu_mixed(n, m, B_mix)
+        except Exception as e:  # TPU-worker crashes are transient on axon
+            log(f"mixed n={n} m={m} failed: {e}")
+            tmix = None
         row["tpu_mixed"] = tmix
         if tmix and ref_ips:
             row["mixed_speedup"] = round(tmix["iters_per_sec"] / ref_ips, 1)
