@@ -108,3 +108,49 @@ def test_island_solution_matches_f64_reference():
     rel = np.abs(b @ np.asarray(r_mix.y, np.float64) - b @ np.asarray(
         r_ref.y)) / (1 + abs(b @ np.asarray(r_ref.y)))
     assert rel < 1e-4, rel
+
+
+def test_ozaki_mode_matches_f64_solve():
+    """Full solve under schur_precision='ozaki' lands on the native-f64
+    solution (the mixed-precision reference-accuracy operating point)."""
+    A, C, b = _sdp(14, 7, 3, np.float64)
+    ref = Program(7)
+    ref.add_lmi_constraint(A, C)
+    r_ref = ref.solve(
+        b, SolverConfig(max_iterations=60, inv_sqrt_mu_max=4e4)
+    )
+    oz = Program(7)
+    oz.add_lmi_constraint(A, C)
+    r_oz = oz.solve(
+        b, SolverConfig(max_iterations=60, inv_sqrt_mu_max=4e4,
+                        schur_precision="ozaki")
+    )
+    assert r_ref.solved and r_oz.solved
+    rel = abs(b @ np.asarray(r_oz.y) - b @ np.asarray(r_ref.y)) / (
+        1 + abs(b @ np.asarray(r_ref.y)))
+    assert rel < 1e-9, rel
+
+
+def test_ozaki_mode_batched_scenarios():
+    """The vmapped scenario path traces and solves under ozaki mode
+    (slice preps built inside the vmapped prepare())."""
+    import jax
+
+    from conex_tpu.cones.psd import DenseLMICone, make_psd_state
+    from conex_tpu.parallel.sharded import solve_scenarios
+
+    rng = np.random.default_rng(2)
+    B, n, m = 3, 10, 5
+    A = rng.uniform(-1, 1, (B, 1, m, n, n))
+    A = 0.5 * (A + np.swapaxes(A, 3, 4))
+    C = np.broadcast_to(np.eye(n), (B, 1, n, n)).copy()
+    X0 = rng.uniform(-1, 1, (B, 1, n, n))
+    X0 = np.einsum("sbij,sbkj->sbik", X0, X0) + 0.1 * np.eye(n)
+    b = np.einsum("sbvij,sbij->sv", A, X0)
+    blk = DenseLMICone(A=jnp.asarray(A), C=jnp.asarray(C))
+    ws = (make_psd_state(jnp.broadcast_to(jnp.eye(n), (B, 1, n, n))),)
+    sc = dict(k=jnp.zeros(B), b_scaling=jnp.ones(B), c_scaling=jnp.ones(B))
+    cfg = SolverConfig(max_iterations=60, inv_sqrt_mu_max=4e4,
+                       schur_precision="ozaki")
+    r = solve_scenarios((blk,), (), jnp.asarray(b), ws, sc, cfg)
+    assert bool(np.asarray(r.solved).all())
