@@ -67,19 +67,15 @@ def solve_tpu(N, nc, B, iters=30, scan_structure=True):
     try:
         prog = Program(n_vars, dtype=dtype)
         w = 6
+        eyeC = np.broadcast_to(np.eye(nc, dtype=dtype), (B, nc, nc)).copy()
         for i in range(N):
             prog.add_lmi_constraint(
-                A[i], np.eye(nc, dtype=dtype),
+                A[i], eyeC,
                 variables=list(range(3 * i, 3 * i + w)),
             )
-        # The per-program builder takes one b; batch instances via the
-        # batched cone blocks sharing scalar loop state is not the
-        # reference shape — instead solve the B instances sequentially
-        # batched in the cone axis with a SINGLE b (B=1 semantics per
-        # scenario is the honest comparison; cone-axis batching already
-        # covers the chip).  Here each clique block holds B LMIs, so one
-        # solve IS B coupled instances — for the benchmark we use B=1
-        # per solve and batch over cliques only.
+        # One instance per solve (B=1), exactly the reference's program
+        # shape — the chip's parallelism comes from the batched per-clique
+        # cone kernels and the supernodal scan, not scenario batching.
         cfg = SolverConfig(
             max_iterations=iters, final_centering_steps=0,
             inv_sqrt_mu_max=1e15, fixed_iterations=True,
@@ -97,7 +93,7 @@ def solve_tpu(N, nc, B, iters=30, scan_structure=True):
             float(np.asarray(r.y).sum())
             best = min(best, time.perf_counter() - t0)
         it = int(np.asarray(r.num_iterations))
-        fail = bool(np.asarray(r.fail))
+        fail = bool(np.asarray(r._raw.fail))
         return dict(
             iters=it, fail=fail, seconds=best,
             iters_per_sec=round(it / best, 1),
