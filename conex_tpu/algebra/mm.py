@@ -131,6 +131,8 @@ def _ozaki_slices(x, term: str, contracted: str, t: int, s: int,
     Returns (slices, mu_free, free_letters): x ~ mu * sum(slices * unit_q)
     with mu broadcast over the contracted axes; mu_free is mu with the
     contracted axes squeezed out, indexed by free_letters (term order)."""
+    if impl == "hybrid":
+        return _ozaki_slices_hybrid(x, term, contracted, t, s)
     axes = tuple(i for i, ch in enumerate(term) if ch in contracted)
     free = "".join(ch for ch in term if ch not in contracted)
     amax = jnp.max(jnp.abs(x), axis=axes, keepdims=True) if axes else jnp.abs(x)
@@ -150,6 +152,68 @@ def _ozaki_slices(x, term: str, contracted: str, t: int, s: int,
         r = r - xq / f
     mu_free = jnp.squeeze(mu, axis=axes) if axes else mu
     return slices, mu_free, free
+
+
+def _ozaki_slices_hybrid(x, term: str, contracted: str, t: int, s: int):
+    """Double-float hybrid slicing ("hybrid" impl): the top 24 bits as 3
+    exact t=8 slices extracted with f32 arithmetic, the remainder as 3
+    bf16 ladder pieces.
+
+    Rationale: TPU f64 elementwise arithmetic is software-emulated and the
+    pure-f64 slicing loop (~30 f64 ops/element/iteration) dominated the
+    mixed-precision solve (measured ~30x above the compute/HBM roofline).
+    This path touches f64 only twice per element (x/mu and y - f32(y));
+    everything else is f32/bf16 VPU work.
+
+    Error: the ladder pieces have magnitude <= 2^-25 of the row scale, so
+    their passes' f32-accumulator rounding (2^-24 relative to the pass) is
+    <= 2^-49 ABSOLUTE — below the exact-pass depth — and only the 3x3
+    exact-slice passes need the integer-exactness contraction bound.
+
+    Returns (slices, mu_free, free): slices[0:3] exact t=8 slices (bf16
+    ints times 2^-8q), slices[3:6] ladder pieces (plain bf16 values).
+    ``t``/``s`` are ignored (fixed 8/6 layout); kept for signature parity.
+    """
+    del t, s
+    axes = tuple(i for i, ch in enumerate(term) if ch in contracted)
+    free = "".join(ch for ch in term if ch not in contracted)
+    amax = jnp.max(jnp.abs(x), axis=axes, keepdims=True) if axes else jnp.abs(x)
+    e = jnp.ceil(jnp.log2(jnp.maximum(amax, 1e-300)))
+    mu = jnp.where(amax > 0, jnp.exp2(e), 1.0).astype(x.dtype)
+    y = x / mu  # f64 elementwise op 1
+    c = y.astype(jnp.float32)
+    # Exact absolute-position 8-bit slices of c, f32 arithmetic (the
+    # round-and-subtract extraction is exact in round-to-nearest).
+    r = c
+    slices = []
+    for q in range(1, 4):
+        f = float(2.0 ** (8 * q))
+        hq = jnp.round(r * f) / f
+        slices.append(hq.astype(jnp.bfloat16))
+        r = r - hq
+    # Remainder: (y - c) in f64 once, plus c's own sub-2^-24 tail r;
+    # |l| <= ~2^-24, carried as 3 bf16 pieces (plain values, not
+    # integer-aligned — their passes are small enough not to need it).
+    l = (y - c).astype(jnp.float32) + r  # f64 elementwise op 2
+    l1 = l.astype(jnp.bfloat16)
+    rl = l - l1.astype(jnp.float32)
+    l2 = rl.astype(jnp.bfloat16)
+    l3 = (rl - l2.astype(jnp.float32)).astype(jnp.bfloat16)
+    slices += [l1, l2, l3]
+    mu_free = jnp.squeeze(mu, axis=axes) if axes else mu
+    return slices, mu_free, free
+
+
+# (q, r) pass list for the hybrid impl: slice index 0-2 = exact slices
+# (magnitude 2^-8(q-1) .. ), 3-5 = ladder pieces (magnitude <= 2^-25 *
+# 2^-8(j-3)).  Passes kept down to ~2^-49 of the row-scale product.
+_HYBRID_PASSES = (
+    [(q, r) for q in range(3) for r in range(3)]  # exact x exact: 9
+    + [(0, 3), (0, 4), (0, 5), (3, 0), (4, 0), (5, 0)]  # h1 x ladder: 6
+    + [(1, 3), (1, 4), (1, 5), (3, 1), (4, 1), (5, 1)]  # h2 x ladder: 6
+    + [(2, 3), (2, 4), (3, 2), (4, 2)]  # h3 x l1/l2: 4
+    + [(3, 3)]  # l1 x l1: 1
+)
 
 
 class _OzakiPlan:
@@ -189,6 +253,12 @@ class _OzakiPlan:
             t = 7
             while K() > 2 ** 17 and contracted:
                 promoted.append(contracted.pop(0))  # largest remaining
+        elif impl == "hybrid":
+            # Only the 3x3 exact-slice passes need the integer-exactness
+            # bound: t = 8 products <= 2^16, so K <= 256.
+            t = 8
+            while K() > 256 and contracted:
+                promoted.append(contracted.pop(0))
         else:
             def width():
                 return (24 - max(0, math.ceil(math.log2(max(K(), 1))))) // 2
@@ -200,7 +270,7 @@ class _OzakiPlan:
             t = min(8, t)
         self.impl = impl
         self.t = t
-        self.s = max(1, -(-min_bits // self.t))
+        self.s = 6 if impl == "hybrid" else max(1, -(-min_bits // self.t))
         self.a, self.b, self.out = a, b, out
         self.contracted = "".join(contracted)  # pass-contracted letters
         self.promoted = "".join(promoted)
@@ -264,20 +334,26 @@ def _ozaki_einsum(pattern: str, x, y, min_bits=None,
     n_promoted = len(plan.promoted)
     int8 = plan.impl == "int8"
     acc_t = jnp.int32 if int8 else jnp.float32
+    if plan.impl == "hybrid":
+        pass_list = [(a + 1, b + 1) for a, b in _HYBRID_PASSES]
+    else:
+        pass_list = [
+            (q, r)
+            for q in range(1, s + 1)
+            for r in range(1, s + 1)
+            if q + r <= s + 1  # below that: under the coverage floor
+        ]
     out = None
-    for q in range(1, s + 1):
-        for r in range(1, s + 1):
-            if q + r > s + 1:
-                continue  # below the slice-coverage floor
-            p = jnp.einsum(plan.pass_pattern, xs[q - 1], ys[r - 1],
-                           preferred_element_type=acc_t)
-            p = jax.lax.optimization_barrier(p).astype(x.dtype)
-            if n_promoted:
-                p = jnp.sum(p, axis=tuple(range(n_promoted)))
-            if int8:
-                # int8 slices are bare integers: apply the pass magnitude.
-                p = p * float(2.0 ** (-(q + r) * plan.t))
-            out = p if out is None else out + p
+    for q, r in pass_list:
+        p = jnp.einsum(plan.pass_pattern, xs[q - 1], ys[r - 1],
+                       preferred_element_type=acc_t)
+        p = jax.lax.optimization_barrier(p).astype(x.dtype)
+        if n_promoted:
+            p = jnp.sum(p, axis=tuple(range(n_promoted)))
+        if int8:
+            # int8 slices are bare integers: apply the pass magnitude.
+            p = p * float(2.0 ** (-(q + r) * plan.t))
+        out = p if out is None else out + p
     # Element scales: outer product of the per-row scales, output-sized
     # (scales are constant over promoted axes by construction).
     scale = jnp.einsum(f"{free_x},{free_y}->{plan.out}", mux, muy)
