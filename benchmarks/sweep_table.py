@@ -102,17 +102,32 @@ def tpu_f32(n, m, B, iters=30):
     return None
 
 
-def tpu_f64(n, m, B):
+def _accuracy_config(n, schur_precision="default", cap_scale=1.0):
+    """Accuracy-column solver config.
+
+    n < 300: the reference's unscaled-target semantics (inv_sqrt_mu_max =
+    4e4 -> unscaled mu 6.25e-10), reachable in f64.  n >= 300: that
+    convention would demand a SCALED mu below f64 machine precision
+    (b/c rescaling factors are ~1e-4 at n=300's magnitudes; the reference
+    itself oscillates unsolved at scaled k ~ 3e6 on these instances —
+    measured via baseline/dump_trajectory), so the target is the
+    achievable scaled-mu floor instead: inv_sqrt_mu_cap_scaled, with
+    termination at the cap (solver/loop.py)."""
     from conex_tpu.config import SolverConfig
 
+    if n < 300:
+        return SolverConfig(max_iterations=150, inv_sqrt_mu_max=4e4,
+                            prepare_dual_variables=True,
+                            schur_precision=schur_precision)
+    return SolverConfig(max_iterations=250, inv_sqrt_mu_max=1e15,
+                        inv_sqrt_mu_cap_scaled=1e6 * cap_scale,
+                        prepare_dual_variables=True,
+                        schur_precision=schur_precision)
+
+
+def tpu_f64(n, m, B):
     A, C, b = _workload(B, n, m, np.float64)
-    # inv_sqrt_mu_max caps the SCALED k (reference semantics,
-    # cone_program.cc:343-357): larger instances rescale harder, so the
-    # target grows with n to keep the *unscaled* gap in the same class.
-    kmax = 4e4 if n < 300 else 1e6
-    iters = 120 if n < 300 else 250
-    cfg = SolverConfig(max_iterations=iters, inv_sqrt_mu_max=kmax,
-                       prepare_dual_variables=True)
+    cfg = _accuracy_config(n)
     r, best = _solve(A, C, b, cfg)
     it = np.asarray(r.num_iterations)
     ok = np.asarray(r.solved)
@@ -139,14 +154,11 @@ def tpu_mixed(n, m, B):
     Ozaki exact-bf16/int8 passes for the heavy matmuls
     (SolverConfig.schur_precision='ozaki', algebra/mm.py) — reference-f64
     semantics at MXU speed."""
-    from conex_tpu.config import SolverConfig
-
     A, C, b = _workload(B, n, m, np.float64)
-    kmax = 4e4 if n < 300 else 1e6
-    iters = 150 if n < 300 else 250
-    cfg = SolverConfig(max_iterations=iters, inv_sqrt_mu_max=kmax,
-                       prepare_dual_variables=True,
-                       schur_precision="ozaki")
+    # The Ozaki G is ~5 digits more accurate than XLA's emulated-f64
+    # matmul (PRECISION.md), so the achievable scaled-mu floor at n=300
+    # sits above the native-f64 column's.
+    cfg = _accuracy_config(n, schur_precision="ozaki", cap_scale=2.5)
     r, best = _solve(A, C, b, cfg)
     it = np.asarray(r.num_iterations)
     ok = np.asarray(r.solved)
@@ -235,11 +247,14 @@ def main():
             if t64 and ref_ips:
                 row["f64_speedup"] = round(t64["iters_per_sec"] / ref_ips, 1)
         log(f"mixed n={n} m={m}: B={B_mix}")
-        try:
-            tmix = tpu_mixed(n, m, B_mix)
-        except Exception as e:  # TPU-worker crashes are transient on axon
-            log(f"mixed n={n} m={m} failed: {e}")
-            tmix = None
+        tmix = None
+        for attempt in range(2):
+            try:
+                tmix = tpu_mixed(n, m, B_mix)
+                break
+            except Exception as e:  # axon TPU-worker crashes are transient
+                log(f"mixed n={n} m={m} attempt {attempt} failed: {e}")
+                time.sleep(20)
         row["tpu_mixed"] = tmix
         if tmix and ref_ips:
             row["mixed_speedup"] = round(tmix["iters_per_sec"] / ref_ips, 1)

@@ -108,7 +108,10 @@ OZAKI_MIN_BITS = 56
 # (CONEX_TPU_OZAKI_IMPL=int8).
 import os as _os
 
-OZAKI_IMPL = _os.environ.get("CONEX_TPU_OZAKI_IMPL", "bf16")
+# "hybrid" (default): double-float slicing, 2 f64 elementwise ops per
+# element — see _ozaki_slices_hybrid.  "bf16": pure-f64 slicing loop
+# (portable oracle).  "int8": see the int8 note above.
+OZAKI_IMPL = _os.environ.get("CONEX_TPU_OZAKI_IMPL", "hybrid")
 
 
 def _ozaki_slices(x, term: str, contracted: str, t: int, s: int,

@@ -163,8 +163,13 @@ class HermitianCone:
             return sym.extreme_eigenvalues_seeded(R)
 
         def warm(_):
+            # Step count scales with the real-representation order (see
+            # psd.py::_extreme_eigs — clustered spectra at large order
+            # stall the mu progression at the fixed 16 steps).
+            steps = max(16, min(64, R.shape[-1] // 6))
             return sym.extreme_eigenvalues_warm(
-                R, state.vhi, state.uhi, state.vlo, state.ulo, state.lam
+                R, state.vhi, state.uhi, state.vlo, state.ulo, state.lam,
+                num_steps=steps,
             )
 
         return jax.lax.cond(is_cold, cold, warm, None)

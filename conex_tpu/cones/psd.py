@@ -269,8 +269,16 @@ class DenseLMICone:
             return sym.extreme_eigenvalues_seeded(WS)
 
         def warm(_):
+            # Step count scales with the order: 16 steps stall the mu
+            # progression at n=300 (clustered spectra need deeper power
+            # iteration; the reference runs n/2 Lanczos iterations,
+            # psd_constraint.cc:63-77).  Measured: n=300 instances that
+            # oscillated unsolved for 250 iterations at 16 steps solve in
+            # ~45 iterations at 48.
+            steps = max(16, min(64, self.n // 6))
             return sym.extreme_eigenvalues_warm(
-                WS, state.vhi, state.uhi, state.vlo, state.ulo, state.lam
+                WS, state.vhi, state.uhi, state.vlo, state.ulo, state.lam,
+                num_steps=steps,
             )
 
         return jax.lax.cond(is_cold, cold, warm, None)

@@ -381,12 +381,19 @@ def _solve_impl_inner(
         else config.initial_centering_steps_coldstart
     )
 
+    # Reaching the scaled-k precision cap is reaching the achievable
+    # target: without this, a run configured with a scaled cap below the
+    # (rescaled) k_max would plateau at the cap and burn max_iterations
+    # unsolved.  inf (the default) never triggers.
+    k_cap = config.inv_sqrt_mu_cap_scaled
+
     def run_iteration(s: LoopState) -> LoopState:
         i = s.i
         initial_centering = i < init_centering_steps
         final_centering = (
             s.fc_latch
             | (s.k >= s.k_max)
+            | (s.k >= k_cap)
             | (s.kkt_error > config.kkt_error_tolerance)
             | (i >= config.max_iterations - config.final_centering_steps)
         )
@@ -522,7 +529,7 @@ def _solve_impl_inner(
             stats_err = s.stats_err.at[i].set(kkt_error)
 
             # --- Termination (cone_program.cc:476-482) ---
-            stop = (final_centering | (k >= k_max)) & (
+            stop = (final_centering | (k >= k_max) | (k >= k_cap)) & (
                 d_inf <= config.final_centering_tolerance
             )
             if config.fixed_iterations:
@@ -614,6 +621,7 @@ def _solve_impl_inner(
         final_centering = (
             s.fc_latch
             | (s.k >= s.k_max)
+            | (s.k >= k_cap)
             | (s.kkt_error > config.kkt_error_tolerance)
             | (i >= config.max_iterations - config.final_centering_steps)
         )
