@@ -147,7 +147,8 @@ def _ozaki_slices(x, term: str, contracted: str, t: int, s: int,
     slices = []
     for q in range(1, s + 1):
         f = float(2.0 ** (q * t))
-        xq = jnp.round(r * f)
+        # Barrier before the subtraction: see _ozaki_slices_hybrid.
+        xq = jax.lax.optimization_barrier(jnp.round(r * f))
         if impl == "int8":
             slices.append(xq.astype(jnp.int8))
         else:
@@ -184,23 +185,28 @@ def _ozaki_slices_hybrid(x, term: str, contracted: str, t: int, s: int):
     e = jnp.ceil(jnp.log2(jnp.maximum(amax, 1e-300)))
     mu = jnp.where(amax > 0, jnp.exp2(e), 1.0).astype(x.dtype)
     y = x / mu  # f64 elementwise op 1
-    c = y.astype(jnp.float32)
+    # Every extracted piece is wrapped in optimization_barrier BEFORE the
+    # following subtraction: without it XLA's algebraic simplifier folds
+    # the cancel-and-subtract patterns (x - f32(x) -> 0 etc.) exactly as
+    # documented for the x3/x6 ladder — observed on-chip as the low
+    # pieces coming back all-zero and duality gaps collapsing to ~1e-3.
+    c = jax.lax.optimization_barrier(y.astype(jnp.float32))
     # Exact absolute-position 8-bit slices of c, f32 arithmetic (the
     # round-and-subtract extraction is exact in round-to-nearest).
     r = c
     slices = []
     for q in range(1, 4):
         f = float(2.0 ** (8 * q))
-        hq = jnp.round(r * f) / f
+        hq = jax.lax.optimization_barrier(jnp.round(r * f) / f)
         slices.append(hq.astype(jnp.bfloat16))
         r = r - hq
     # Remainder: (y - c) in f64 once, plus c's own sub-2^-24 tail r;
     # |l| <= ~2^-24, carried as 3 bf16 pieces (plain values, not
     # integer-aligned — their passes are small enough not to need it).
     l = (y - c).astype(jnp.float32) + r  # f64 elementwise op 2
-    l1 = l.astype(jnp.bfloat16)
+    l1 = jax.lax.optimization_barrier(l.astype(jnp.bfloat16))
     rl = l - l1.astype(jnp.float32)
-    l2 = rl.astype(jnp.bfloat16)
+    l2 = jax.lax.optimization_barrier(rl.astype(jnp.bfloat16))
     l3 = (rl - l2.astype(jnp.float32)).astype(jnp.bfloat16)
     slices += [l1, l2, l3]
     mu_free = jnp.squeeze(mu, axis=axes) if axes else mu
