@@ -352,13 +352,26 @@ def _ozaki_einsum(pattern: str, x, y, min_bits=None,
             for r in range(1, s + 1)
             if q + r <= s + 1  # below that: under the coverage floor
         ]
+    direct_pattern = f"{plan.a},{plan.b}->{plan.out}"
     out = None
     for q, r in pass_list:
-        p = jnp.einsum(plan.pass_pattern, xs[q - 1], ys[r - 1],
-                       preferred_element_type=acc_t)
-        p = jax.lax.optimization_barrier(p).astype(x.dtype)
-        if n_promoted:
-            p = jnp.sum(p, axis=tuple(range(n_promoted)))
+        # Hybrid remainder-ladder passes (either operand a bf16 l-piece,
+        # magnitude <= 2^-25 of the row scale) don't need exact
+        # accumulation: their fused full-contraction f32 error is
+        # <= 2^-24 * pass magnitude <= 2^-49 absolute.  Running them
+        # unpromoted avoids materializing the (promoted + out)-shaped
+        # pass outputs — the dominant HBM cost of promoted contractions.
+        fused_ok = plan.impl == "hybrid" and (q > 3 or r > 3)
+        if n_promoted and fused_ok:
+            p = jnp.einsum(direct_pattern, xs[q - 1], ys[r - 1],
+                           preferred_element_type=acc_t)
+            p = jax.lax.optimization_barrier(p).astype(x.dtype)
+        else:
+            p = jnp.einsum(plan.pass_pattern, xs[q - 1], ys[r - 1],
+                           preferred_element_type=acc_t)
+            p = jax.lax.optimization_barrier(p).astype(x.dtype)
+            if n_promoted:
+                p = jnp.sum(p, axis=tuple(range(n_promoted)))
         if int8:
             # int8 slices are bare integers: apply the pass magnitude.
             p = p * float(2.0 ** (-(q + r) * plan.t))
