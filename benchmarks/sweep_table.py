@@ -125,33 +125,55 @@ def _accuracy_config(n, schur_precision="default", cap_scale=1.0):
                         schur_precision=schur_precision)
 
 
+def _accuracy_report(r, A, C, b, B, best, n, cfg):
+    """it/s + per-scenario gap accounting.
+
+    ``solved`` counts scenarios that REACHED the mu target (scaled k at
+    its per-scenario target, to 1%); ``max_rel_gap`` is over those.
+    ``centered`` counts scenarios the solver exited solved via the
+    iteration-budget final-centering tail without reaching the target
+    (reference semantics, cone_program.cc:311-336) — converged-centered
+    but at a larger mu; their worst gap is reported separately instead of
+    being mixed into the headline accuracy number."""
+    it = np.asarray(r.num_iterations)
+    ok = np.asarray(r.solved)
+    X = np.asarray(r.ws[0].w)
+    k = np.asarray(r.k)
+    bsc = np.asarray(r.b_scaling)
+    csc = np.asarray(r.c_scaling)
+    ys = np.asarray(r.y)
+    k_target = np.minimum(
+        cfg.inv_sqrt_mu_max / np.sqrt(np.maximum(bsc * csc, 1e-300)),
+        cfg.inv_sqrt_mu_cap_scaled,
+    )
+    gaps_t, gaps_c = [], []
+    for s in range(B):
+        if not ok[s]:
+            continue
+        Xs = X[s, 0] / (k[s] * bsc[s])
+        by = b[s] @ ys[s]
+        cx = np.sum(np.asarray(C[s, 0]) * Xs)
+        gap = abs(cx - by) / (1 + abs(by))
+        (gaps_t if k[s] >= 0.99 * k_target[s] else gaps_c).append(gap)
+    out = dict(iters_per_sec=round(int(it.sum()) / best, 1), B=B,
+               solved=f"{len(gaps_t)}/{B}",
+               max_rel_gap=float(f"{max(gaps_t):.2e}") if gaps_t else None)
+    if gaps_c:
+        out["centered"] = len(gaps_c)
+        out["centered_max_gap"] = float(f"{max(gaps_c):.2e}")
+    return out
+
+
 def tpu_f64(n, m, B):
     A, C, b = _workload(B, n, m, np.float64)
     cfg = _accuracy_config(n)
     r, best = _solve(A, C, b, cfg)
-    it = np.asarray(r.num_iterations)
-    ok = np.asarray(r.solved)
-    solved = int(ok.sum())
-    X = np.asarray(r.ws[0].w)
-    k = np.asarray(r.k)
-    bsc = np.asarray(r.b_scaling)
-    ys = np.asarray(r.y)
-    gaps = []
-    for s in range(B):
-        if not ok[s]:
-            continue  # gap undefined for unsolved scenarios
-        Xs = X[s, 0] / (k[s] * bsc[s])
-        by = b[s] @ ys[s]
-        cx = np.sum(np.asarray(C[s, 0]) * Xs)
-        gaps.append(abs(cx - by) / (1 + abs(by)))
-    return dict(iters_per_sec=round(int(it.sum()) / best, 1), B=B,
-                solved=f"{solved}/{B}",
-                max_rel_gap=float(f"{max(gaps):.2e}") if gaps else None)
+    return _accuracy_report(r, A, C, b, B, best, n, cfg)
 
 
 def tpu_mixed(n, m, B):
     """The mixed-precision operating point: f64 problem data and scalars,
-    Ozaki exact-bf16/int8 passes for the heavy matmuls
+    Ozaki exact-bf16 passes for the heavy matmuls
     (SolverConfig.schur_precision='ozaki', algebra/mm.py) — reference-f64
     semantics at MXU speed."""
     A, C, b = _workload(B, n, m, np.float64)
@@ -160,24 +182,7 @@ def tpu_mixed(n, m, B):
     # sits above the native-f64 column's.
     cfg = _accuracy_config(n, schur_precision="ozaki", cap_scale=2.5)
     r, best = _solve(A, C, b, cfg)
-    it = np.asarray(r.num_iterations)
-    ok = np.asarray(r.solved)
-    solved = int(ok.sum())
-    X = np.asarray(r.ws[0].w)
-    k = np.asarray(r.k)
-    bsc = np.asarray(r.b_scaling)
-    ys = np.asarray(r.y)
-    gaps = []
-    for s in range(B):
-        if not ok[s]:
-            continue
-        Xs = X[s, 0] / (k[s] * bsc[s])
-        by = b[s] @ ys[s]
-        cx = np.sum(np.asarray(C[s, 0]) * Xs)
-        gaps.append(abs(cx - by) / (1 + abs(by)))
-    return dict(iters_per_sec=round(int(it.sum()) / best, 1), B=B,
-                solved=f"{solved}/{B}",
-                max_rel_gap=float(f"{max(gaps):.2e}") if gaps else None)
+    return _accuracy_report(r, A, C, b, B, best, n, cfg)
 
 
 def main():
