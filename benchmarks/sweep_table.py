@@ -142,10 +142,7 @@ def _accuracy_report(r, A, C, b, B, best, n, cfg):
     bsc = np.asarray(r.b_scaling)
     csc = np.asarray(r.c_scaling)
     ys = np.asarray(r.y)
-    k_target = np.minimum(
-        cfg.inv_sqrt_mu_max / np.sqrt(np.maximum(bsc * csc, 1e-300)),
-        cfg.inv_sqrt_mu_cap_scaled,
-    )
+    del csc  # classification is by achieved gap, not exit path
     gaps_t, gaps_c = [], []
     for s in range(B):
         if not ok[s]:
@@ -154,13 +151,16 @@ def _accuracy_report(r, A, C, b, B, best, n, cfg):
         by = b[s] @ ys[s]
         cx = np.sum(np.asarray(C[s, 0]) * Xs)
         gap = abs(cx - by) / (1 + abs(by))
-        (gaps_t if k[s] >= 0.99 * k_target[s] else gaps_c).append(gap)
+        # Solved-at-accuracy = gap at or under 1e-7 (the parity bar);
+        # solver-solved scenarios above it (budget-tail centered exits at
+        # larger mu, reference semantics) are counted separately.
+        (gaps_t if gap <= 1e-7 else gaps_c).append(gap)
     out = dict(iters_per_sec=round(int(it.sum()) / best, 1), B=B,
                solved=f"{len(gaps_t)}/{B}",
                max_rel_gap=float(f"{max(gaps_t):.2e}") if gaps_t else None)
     if gaps_c:
-        out["centered"] = len(gaps_c)
-        out["centered_max_gap"] = float(f"{max(gaps_c):.2e}")
+        out["above_1e-7"] = len(gaps_c)
+        out["above_max_gap"] = float(f"{max(gaps_c):.2e}")
     return out
 
 

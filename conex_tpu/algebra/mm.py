@@ -38,6 +38,7 @@ from contextvars import ContextVar
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 MODES = ("default", "x3", "x6", "highest", "float32", "ozaki")
 
@@ -210,7 +211,9 @@ def _ozaki_slices_hybrid(x, term: str, contracted: str, t: int, s: int):
     l3 = (rl - l2.astype(jnp.float32)).astype(jnp.bfloat16)
     slices += [l1, l2, l3]
     mu_free = jnp.squeeze(mu, axis=axes) if axes else mu
-    return slices, mu_free, free
+    # Stacked (6, ...) layout: the stacked-pass path contracts all slice
+    # pairs in one einsum; the per-pass path indexes the leading axis.
+    return jnp.stack(slices), mu_free, free
 
 
 # (q, r) pass list for the hybrid impl: slice index 0-2 = exact slices
@@ -223,6 +226,67 @@ _HYBRID_PASSES = (
     + [(2, 3), (2, 4), (3, 2), (4, 2)]  # h3 x l1/l2: 4
     + [(3, 3)]  # l1 x l1: 1
 )
+
+
+# Stacked-pass execution for the hybrid impl: contract ALL slice pairs in
+# one (or two) einsums with the slice axes as batch dims, then combine
+# with small masked reductions.  The per-pass path issues ~26 einsums per
+# call site (~600 XLA ops per Newton iteration across the cone kernels),
+# which is op-dispatch-bound at n <= 100; the stacked path issues ~2.
+OZAKI_STACKED = _os.environ.get("CONEX_TPU_OZAKI_STACKED", "0") == "1"
+
+
+def _fresh_letters(used: str, count: int) -> str:
+    import string
+
+    out = []
+    for ch in string.ascii_letters:
+        if ch not in used:
+            out.append(ch)
+            if len(out) == count:
+                return "".join(out)
+    raise ValueError("no letters left")
+
+
+def _ozaki_combine_stacked(plan, Xs, Ys, mux, muy, free_x, free_y, dtype):
+    """All hybrid passes via stacked einsums.
+
+    One 6x6 direct einsum covers every kept pass; the 3x3 exact-slice
+    block additionally runs through the promoted pattern when the
+    contraction is too long for exact f32 accumulation, replacing the
+    direct block's (inexact) values.  Combination is a masked (P, Q)
+    reduction in f64 — output-sized, two ops."""
+    used = plan.a + plan.b + plan.out + plan.promoted
+    P, Q = _fresh_letters(used, 2)
+    keep = np.zeros((6, 6))
+    for a, b_ in _HYBRID_PASSES:
+        keep[a, b_] = 1.0
+    pd = jnp.einsum(
+        f"{P}{plan.a},{Q}{plan.b}->{P}{Q}{plan.out}", Xs, Ys,
+        preferred_element_type=jnp.float32,
+    )
+    pd = jax.lax.optimization_barrier(pd).astype(dtype)
+    if plan.promoted:
+        # The direct 3x3 exact-slice block is f32-truncated on long
+        # contractions; recompute it exactly through the promoted pattern.
+        mask_h = jnp.asarray(keep[:3, :3], dtype)
+        mask_d = jnp.asarray(keep * (1.0 - np.pad(
+            np.ones((3, 3)), ((0, 3), (0, 3)))), dtype)
+        ph = jnp.einsum(
+            f"{P}{plan.a},{Q}{plan.b}->{P}{Q}{plan.promoted}{plan.out}",
+            Xs[:3], Ys[:3], preferred_element_type=jnp.float32,
+        )
+        ph = jax.lax.optimization_barrier(ph).astype(dtype)
+        ph = jnp.sum(ph, axis=tuple(range(2, 2 + len(plan.promoted))))
+        out = (
+            jnp.einsum(f"{P}{Q},{P}{Q}{plan.out}->{plan.out}", mask_d, pd)
+            + jnp.einsum(f"{P}{Q},{P}{Q}{plan.out}->{plan.out}", mask_h, ph)
+        )
+    else:
+        mask = jnp.asarray(keep, dtype)
+        out = jnp.einsum(f"{P}{Q},{P}{Q}{plan.out}->{plan.out}", mask, pd)
+    scale = jnp.einsum(f"{free_x},{free_y}->{plan.out}", mux, muy)
+    return out * scale
 
 
 class _OzakiPlan:
@@ -353,6 +417,9 @@ def _ozaki_einsum(pattern: str, x, y, min_bits=None,
             if q + r <= s + 1  # below that: under the coverage floor
         ]
     direct_pattern = f"{plan.a},{plan.b}->{plan.out}"
+    if plan.impl == "hybrid" and OZAKI_STACKED:
+        return _ozaki_combine_stacked(plan, xs, ys, mux, muy,
+                                      free_x, free_y, x.dtype)
     out = None
     for q, r in pass_list:
         # Hybrid remainder-ladder passes (either operand a bf16 l-piece,
