@@ -159,6 +159,32 @@ def _ozaki_slices(x, term: str, contracted: str, t: int, s: int,
     return slices, mu_free, free
 
 
+def _hybrid_layout(t: int):
+    """(n_h, pass list) for exact-slice width t: n_h t-bit exact slices
+    covering the f32 head's 24 bits, plus 3 bf16 ladder pieces; passes
+    kept down to ~2^-50 of the row-scale product."""
+    n_h = -(-24 // t)
+    passes = [(a, b) for a in range(n_h) for b in range(n_h)]  # exact
+
+    def mag_h(q):
+        return 2.0 ** (-t * q)
+
+    def mag_l(j):
+        return 2.0 ** (-25 - 8 * j)
+
+    floor = 2.0 ** -50
+    for a in range(n_h):
+        for j in range(3):
+            if mag_h(a) * mag_l(j) >= floor:
+                passes.append((a, n_h + j))
+                passes.append((n_h + j, a))
+    for i_ in range(3):
+        for j in range(3):
+            if mag_l(i_) * mag_l(j) >= floor:
+                passes.append((n_h + i_, n_h + j))
+    return n_h, passes
+
+
 def _ozaki_slices_hybrid(x, term: str, contracted: str, t: int, s: int):
     """Double-float hybrid slicing ("hybrid" impl): the top 24 bits as 3
     exact t=8 slices extracted with f32 arithmetic, the remainder as 3
@@ -175,11 +201,15 @@ def _ozaki_slices_hybrid(x, term: str, contracted: str, t: int, s: int):
     <= 2^-49 ABSOLUTE — below the exact-pass depth — and only the 3x3
     exact-slice passes need the integer-exactness contraction bound.
 
-    Returns (slices, mu_free, free): slices[0:3] exact t=8 slices (bf16
-    ints times 2^-8q), slices[3:6] ladder pieces (plain bf16 values).
-    ``t``/``s`` are ignored (fixed 8/6 layout); kept for signature parity.
+    Returns (slices, mu_free, free): slices[0:n_h] exact t-bit slices
+    (bf16 values, integer multiples of 2^-tq), slices[n_h:] ladder pieces
+    (plain bf16 values).  ``t`` is the plan's exact-slice width (8, 7 or
+    6 — narrower widths raise the exact-accumulation contraction bound to
+    2^(24-2t), avoiding axis promotion on n=300-class panels); ``s`` is
+    ignored (the layout fixes the slice count).
     """
-    del t, s
+    del s
+    n_h = -(-24 // t)
     axes = tuple(i for i, ch in enumerate(term) if ch in contracted)
     free = "".join(ch for ch in term if ch not in contracted)
     amax = jnp.max(jnp.abs(x), axis=axes, keepdims=True) if axes else jnp.abs(x)
@@ -192,12 +222,12 @@ def _ozaki_slices_hybrid(x, term: str, contracted: str, t: int, s: int):
     # documented for the x3/x6 ladder — observed on-chip as the low
     # pieces coming back all-zero and duality gaps collapsing to ~1e-3.
     c = jax.lax.optimization_barrier(y.astype(jnp.float32))
-    # Exact absolute-position 8-bit slices of c, f32 arithmetic (the
+    # Exact absolute-position t-bit slices of c, f32 arithmetic (the
     # round-and-subtract extraction is exact in round-to-nearest).
     r = c
     slices = []
-    for q in range(1, 4):
-        f = float(2.0 ** (8 * q))
+    for q in range(1, n_h + 1):
+        f = float(2.0 ** (t * q))
         hq = jax.lax.optimization_barrier(jnp.round(r * f) / f)
         slices.append(hq.astype(jnp.bfloat16))
         r = r - hq
@@ -214,18 +244,6 @@ def _ozaki_slices_hybrid(x, term: str, contracted: str, t: int, s: int):
     # Stacked (6, ...) layout: the stacked-pass path contracts all slice
     # pairs in one einsum; the per-pass path indexes the leading axis.
     return jnp.stack(slices), mu_free, free
-
-
-# (q, r) pass list for the hybrid impl: slice index 0-2 = exact slices
-# (magnitude 2^-8(q-1) .. ), 3-5 = ladder pieces (magnitude <= 2^-25 *
-# 2^-8(j-3)).  Passes kept down to ~2^-49 of the row-scale product.
-_HYBRID_PASSES = (
-    [(q, r) for q in range(3) for r in range(3)]  # exact x exact: 9
-    + [(0, 3), (0, 4), (0, 5), (3, 0), (4, 0), (5, 0)]  # h1 x ladder: 6
-    + [(1, 3), (1, 4), (1, 5), (3, 1), (4, 1), (5, 1)]  # h2 x ladder: 6
-    + [(2, 3), (2, 4), (3, 2), (4, 2)]  # h3 x l1/l2: 4
-    + [(3, 3)]  # l1 x l1: 1
-)
 
 
 # Stacked-pass execution for the hybrid impl: contract ALL slice pairs in
@@ -258,8 +276,9 @@ def _ozaki_combine_stacked(plan, Xs, Ys, mux, muy, free_x, free_y, dtype):
     reduction in f64 — output-sized, two ops."""
     used = plan.a + plan.b + plan.out + plan.promoted
     P, Q = _fresh_letters(used, 2)
-    keep = np.zeros((6, 6))
-    for a, b_ in _HYBRID_PASSES:
+    s, n_h = plan.s, plan.n_h
+    keep = np.zeros((s, s))
+    for a, b_ in plan.hybrid_passes:
         keep[a, b_] = 1.0
     pd = jnp.einsum(
         f"{P}{plan.a},{Q}{plan.b}->{P}{Q}{plan.out}", Xs, Ys,
@@ -267,14 +286,15 @@ def _ozaki_combine_stacked(plan, Xs, Ys, mux, muy, free_x, free_y, dtype):
     )
     pd = jax.lax.optimization_barrier(pd).astype(dtype)
     if plan.promoted:
-        # The direct 3x3 exact-slice block is f32-truncated on long
+        # The direct exact-slice block is f32-truncated on long
         # contractions; recompute it exactly through the promoted pattern.
-        mask_h = jnp.asarray(keep[:3, :3], dtype)
-        mask_d = jnp.asarray(keep * (1.0 - np.pad(
-            np.ones((3, 3)), ((0, 3), (0, 3)))), dtype)
+        mask_h = jnp.asarray(keep[:n_h, :n_h], dtype)
+        head = np.zeros((s, s))
+        head[:n_h, :n_h] = 1.0
+        mask_d = jnp.asarray(keep * (1.0 - head), dtype)
         ph = jnp.einsum(
             f"{P}{plan.a},{Q}{plan.b}->{P}{Q}{plan.promoted}{plan.out}",
-            Xs[:3], Ys[:3], preferred_element_type=jnp.float32,
+            Xs[:n_h], Ys[:n_h], preferred_element_type=jnp.float32,
         )
         ph = jax.lax.optimization_barrier(ph).astype(dtype)
         ph = jnp.sum(ph, axis=tuple(range(2, 2 + len(plan.promoted))))
@@ -327,11 +347,15 @@ class _OzakiPlan:
             while K() > 2 ** 17 and contracted:
                 promoted.append(contracted.pop(0))  # largest remaining
         elif impl == "hybrid":
-            # Only the 3x3 exact-slice passes need the integer-exactness
-            # bound: t = 8 products <= 2^16, so K <= 256.
-            t = 8
-            while K() > 256 and contracted:
+            # Only the exact-slice passes need the integer-exactness
+            # bound K <= 2^(24-2t); narrow the slice width (more slices,
+            # same 24-bit coverage) before resorting to axis promotion —
+            # a promoted pass output carries the promoted axis and was
+            # measured OOMing HBM at n=300 panel shapes.
+            while K() > 4096 and contracted:
                 promoted.append(contracted.pop(0))
+            Kv = K()
+            t = 8 if Kv <= 256 else (7 if Kv <= 1024 else 6)
         else:
             def width():
                 return (24 - max(0, math.ceil(math.log2(max(K(), 1))))) // 2
@@ -343,7 +367,11 @@ class _OzakiPlan:
             t = min(8, t)
         self.impl = impl
         self.t = t
-        self.s = 6 if impl == "hybrid" else max(1, -(-min_bits // self.t))
+        if impl == "hybrid":
+            self.n_h, self.hybrid_passes = _hybrid_layout(t)
+            self.s = self.n_h + 3
+        else:
+            self.s = max(1, -(-min_bits // self.t))
         self.a, self.b, self.out = a, b, out
         self.contracted = "".join(contracted)  # pass-contracted letters
         self.promoted = "".join(promoted)
@@ -408,7 +436,7 @@ def _ozaki_einsum(pattern: str, x, y, min_bits=None,
     int8 = plan.impl == "int8"
     acc_t = jnp.int32 if int8 else jnp.float32
     if plan.impl == "hybrid":
-        pass_list = [(a + 1, b + 1) for a, b in _HYBRID_PASSES]
+        pass_list = [(a + 1, b + 1) for a, b in plan.hybrid_passes]
     else:
         pass_list = [
             (q, r)
@@ -428,7 +456,7 @@ def _ozaki_einsum(pattern: str, x, y, min_bits=None,
         # <= 2^-24 * pass magnitude <= 2^-49 absolute.  Running them
         # unpromoted avoids materializing the (promoted + out)-shaped
         # pass outputs — the dominant HBM cost of promoted contractions.
-        fused_ok = plan.impl == "hybrid" and (q > 3 or r > 3)
+        fused_ok = plan.impl == "hybrid" and (q > plan.n_h or r > plan.n_h)
         if n_promoted and fused_ok:
             p = jnp.einsum(direct_pattern, xs[q - 1], ys[r - 1],
                            preferred_element_type=acc_t)
