@@ -266,7 +266,8 @@ def _fresh_letters(used: str, count: int) -> str:
     raise ValueError("no letters left")
 
 
-def _ozaki_combine_stacked(plan, Xs, Ys, mux, muy, free_x, free_y, dtype):
+def _ozaki_combine_stacked(plan, Xs, Ys, mux, muy, free_x, free_y, dtype,
+                           exact_stacked=True):
     """All hybrid passes via stacked einsums.
 
     One 6x6 direct einsum covers every kept pass; the 3x3 exact-slice
@@ -292,15 +293,31 @@ def _ozaki_combine_stacked(plan, Xs, Ys, mux, muy, free_x, free_y, dtype):
         head = np.zeros((s, s))
         head[:n_h, :n_h] = 1.0
         mask_d = jnp.asarray(keep * (1.0 - head), dtype)
-        ph = jnp.einsum(
-            f"{P}{plan.a},{Q}{plan.b}->{P}{Q}{plan.promoted}{plan.out}",
-            Xs[:n_h], Ys[:n_h], preferred_element_type=jnp.float32,
-        )
-        ph = jax.lax.optimization_barrier(ph).astype(dtype)
-        ph = jnp.sum(ph, axis=tuple(range(2, 2 + len(plan.promoted))))
+        if exact_stacked:
+            ph = jnp.einsum(
+                f"{P}{plan.a},{Q}{plan.b}->{P}{Q}{plan.promoted}{plan.out}",
+                Xs[:n_h], Ys[:n_h], preferred_element_type=jnp.float32,
+            )
+            ph = jax.lax.optimization_barrier(ph).astype(dtype)
+            ph = jnp.sum(ph, axis=tuple(range(2, 2 + len(plan.promoted))))
+            hsum = jnp.einsum(
+                f"{P}{Q},{P}{Q}{plan.out}->{plan.out}", mask_h, ph)
+        else:
+            # Promoted-exact block per pass: its stacked form would
+            # materialize (n_h^2, promoted, out) at once.
+            hsum = None
+            for a in range(n_h):
+                for b2 in range(n_h):
+                    p = jnp.einsum(
+                        f"{plan.a},{plan.b}->{plan.promoted}{plan.out}",
+                        Xs[a], Ys[b2], preferred_element_type=jnp.float32,
+                    )
+                    p = jax.lax.optimization_barrier(p).astype(dtype)
+                    p = jnp.sum(p, axis=tuple(range(len(plan.promoted))))
+                    hsum = p if hsum is None else hsum + p
         out = (
             jnp.einsum(f"{P}{Q},{P}{Q}{plan.out}->{plan.out}", mask_d, pd)
-            + jnp.einsum(f"{P}{Q},{P}{Q}{plan.out}->{plan.out}", mask_h, ph)
+            + hsum
         )
     else:
         mask = jnp.asarray(keep, dtype)
@@ -446,8 +463,27 @@ def _ozaki_einsum(pattern: str, x, y, min_bits=None,
         ]
     direct_pattern = f"{plan.a},{plan.b}->{plan.out}"
     if plan.impl == "hybrid" and OZAKI_STACKED:
-        return _ozaki_combine_stacked(plan, xs, ys, mux, muy,
-                                      free_x, free_y, x.dtype)
+        # Stacking materializes (s, s, out) before the masked reduce —
+        # only worth it (and only SAFE) when the output is small relative
+        # to the operands (G/AQc-class contractions, not the panel
+        # einsums whose output IS the big tensor: measured 80GB HBM
+        # allocation stacking the panel at n=100 B=52).
+        sizes = {}
+        for term, shape in ((plan.a, x.shape), (plan.b, y.shape)):
+            for ch, d in zip(term, shape):
+                sizes[ch] = d
+        out_elems = 1
+        for ch in plan.out:
+            out_elems *= sizes[ch]
+        prom_elems = 1
+        for ch in plan.promoted:
+            prom_elems *= sizes[ch]
+        if plan.s ** 2 * out_elems <= 10_000_000:
+            return _ozaki_combine_stacked(
+                plan, xs, ys, mux, muy, free_x, free_y, x.dtype,
+                exact_stacked=(plan.n_h ** 2 * prom_elems * out_elems
+                               <= 20_000_000),
+            )
     out = None
     for q, r in pass_list:
         # Hybrid remainder-ladder passes (either operand a bf16 l-piece,
