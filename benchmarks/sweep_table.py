@@ -234,10 +234,11 @@ def main():
         B_f32 = max(1, min(64, int(6e8 // max(bytes_per, 1))))
         B_f64 = max(1, min(8, int(25e7 // max(bytes_per, 1))))
         # Mixed (ozaki): ~48 bytes per A element (f64 data + bf16 slice
-        # preps for A and the P panel across their index roles).  Cap 64:
-        # B=256 at small shapes crashed the TPU worker (axon runtime
-        # fault, not OOM — B=64 at the same shapes is stable).
-        B_mix = max(1, min(64, int(2.5e9 // max(48 * m * n * n, 1))))
+        # preps for A and the P panel across their index roles).  Cap 16:
+        # larger vmapped ozaki programs crash the axon TPU worker
+        # (runtime fault, not OOM), and measured throughput at B=16
+        # matches B=52 (the solve is op-dispatch-bound at these shapes).
+        B_mix = max(1, min(16, int(2.5e9 // max(48 * m * n * n, 1))))
         if mixed_only and (n, m) in prior:
             row = dict(prior[(n, m)])
         else:
